@@ -1,0 +1,32 @@
+"""riot_spark — a PySpark-native full-text inverted-index + BM25 engine.
+
+A from-scratch rewrite of the capabilities of go-ego/riot (reference at
+/root/reference, v0.10.0) as a batch Spark engine:
+
+* documents -> tokenize (vectorized) -> term-partitioned posting lists
+  (flat for correctness; delta+varint packed blocks with block-max scores
+  for scale) -- SURVEY.md section 2.3.
+* queries = DataFrame programs: AND intersection, must/should/notIn logic,
+  BM25 (k1=2.0, b=0.75, idf=log2(N/df+1)) rank-identical to riot
+  (core/indexer.go:417-558 semantics, NumShards=1 statistics).
+* plus large-scale training-data ops: dedup (exact/minhash/simhash/
+  jaccard/embedding), ANN similarity, text quality/langid/fingerprint.
+
+Architecture is Spark-first (DataFrame + Catalyst + Arrow pandas UDFs),
+not a port of riot's goroutine/channel design.
+"""
+
+from riot_spark.config import BM25Params, EngineConfig
+from riot_spark.build import IndexBuilder, build_index
+from riot_spark.query import SearchEngine, SearchRequest
+
+__all__ = [
+    "BM25Params",
+    "EngineConfig",
+    "IndexBuilder",
+    "build_index",
+    "SearchEngine",
+    "SearchRequest",
+]
+
+__version__ = "0.1.0"

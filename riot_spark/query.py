@@ -1,0 +1,366 @@
+"""Query engine — the read path (SURVEY.md §2.4, §3.1).
+
+A search is one declarative DataFrame program:
+
+    postings scan (term filter -> partition pruning + parquet
+    predicate pushdown)
+      -> per-doc hash aggregate (the multi-way AND intersection:
+         count(distinct term) == |keywords|)
+      -> BM25 expression over broadcast (idf, N, avgdl) stats
+      -> orderBy(score desc, doc_id asc).limit(offset+k)
+         (Spark plans this as per-partition partial top-k +
+         TakeOrderedAndProject — riot's shard-topk + gather, Q11/Q12,
+         for free)
+
+Riot's goroutine scatter/gather across shards (engine.go:797-799)
+becomes Spark stages; its binary-search posting intersection
+(core/indexer.go:690-721) becomes a hash aggregate, which Spark
+executes with map-side partial aggregation — the distributed analogue.
+
+Two scorers:
+* native  — JVM columnar expression (double math, float cast), the
+  100 TB hot path; whole-stage-codegen end to end.
+* float32 — Arrow-batched pandas kernel accumulating in numpy.float32
+  in query-token order, bit-exact to riot (core/indexer.go:526-546).
+  Also computes token-proximity + snippet locs (LocsIndex mode).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from riot_spark.build import Index
+from riot_spark.config import LOCS_INDEX
+from riot_spark.oracle import bm25_score_f32, token_proximity
+from riot_spark.tokenizer import tokenize_query
+
+
+@dataclass
+class SearchRequest:
+    """types.SearchReq analogue (types/search_request.go:19-54)."""
+
+    text: str = ""
+    tokens: list[str] = field(default_factory=list)
+    labels: list[str] = field(default_factory=list)
+    # logic expression (types/search_request.go:72-99)
+    must: list[str] = field(default_factory=list)
+    should: list[str] = field(default_factory=list)
+    not_in: list[str] = field(default_factory=list)
+    doc_ids: list[int] | None = None  # whitelist (Q3)
+    offset: int = 0
+    max_outputs: int = 0  # 0 => unlimited
+    reverse_order: bool = False
+    count_docs_only: bool = False
+    orderless: bool = False
+    scorer: str = "native"  # 'native' | 'float32'
+    # ScoringCriteria hook (Q8, types/scoring_criteria.go:19-33):
+    # 'bm25' (default RankByBM25), 'proximity' (RankByTokenProximity,
+    # score = 1/(proximity+1), test_utils.go), or a callable
+    # pd.DataFrame[doc_id, score, proximity] -> pd.Series new score
+    # (None entries drop the doc, mirroring empty-slice semantics).
+    criteria: object = "bm25"
+
+    def all_tokens(self) -> list[str]:
+        return tokenize_query(self.text) + list(self.tokens)
+
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.FloatType(), True),
+        T.StructField("proximity", T.IntegerType(), True),
+        T.StructField("snippet_locs", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+class SearchEngine:
+    """Batch search over a built :class:`riot_spark.build.Index`."""
+
+    def __init__(self, index: Index):
+        self.index = index
+
+    # ---------------------------------------------------------- internals
+
+    def _matched(self, keywords: list[str], doc_ids: list[int] | None) -> DataFrame:
+        """Postings rows for the query keywords.
+
+        The `.isin` filter on the range-partition key prunes index
+        partitions and pushes into the parquet scan; the optional
+        whitelist is a broadcast-isin semi-filter (Q3,
+        core/indexer.go:449-453)."""
+        m = self.index.postings.where(F.col("term").isin(keywords))
+        if doc_ids is not None:
+            m = m.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+        return m
+
+    def _spark(self):
+        return self.index.postings.sparkSession
+
+    def _empty(self) -> DataFrame:
+        return self._spark().createDataFrame([], RESULT_SCHEMA)
+
+    def _candidates_and(
+        self, keywords: list[str], doc_ids: list[int] | None
+    ) -> DataFrame | None:
+        """AND intersection via hash aggregate; None => provably empty."""
+        dfs = self.index.lookup_terms(list(set(keywords)))
+        if any(kw not in dfs for kw in keywords):
+            return None  # missing keyword short-circuit (indexer.go:423-427)
+        return self._matched(keywords, doc_ids)
+
+    # ------------------------------------------------------------- scoring
+
+    def _score_native(self, matched: DataFrame, tokens: list[str], n_kw: int) -> DataFrame:
+        """Columnar BM25. One aggregate does intersection + scoring."""
+        idx = self.index
+        p = idx.config.bm25
+        dfs = idx.lookup_terms(list(set(tokens)))
+        # idf per token as a literal map — queries have few terms
+        idf_map = {
+            t: math.log2(idx.n_docs / dfs[t] + 1.0) for t in set(tokens) if t in dfs
+        }
+        idf_col = F.lit(0.0)
+        for t, v in idf_map.items():
+            idf_col = F.when(F.col("term") == t, F.lit(v)).otherwise(idf_col)
+
+        is_tok = F.col("term").isin(list(set(tokens))) & ~F.col("is_label")
+        tf = F.col("tf").cast("double")
+        dl = F.col("token_len").cast("double")
+        contrib = (
+            idf_col
+            * tf
+            * (p.k1 + 1.0)
+            / (tf + p.k1 * (1.0 - p.b + p.b * dl / idx.avgdl))
+        )
+        contrib = F.when(is_tok & (tf > 0) & F.lit(idx.avgdl != 0.0), contrib).otherwise(
+            F.lit(0.0)
+        )
+        locs_mode = idx.config.index_type == LOCS_INDEX
+        unscorable = (
+            F.max(
+                F.when(
+                    F.col("term").isin(list(set(tokens)))
+                    & (F.col("is_label") | (F.coalesce(F.size("positions"), F.lit(0)) == 0)),
+                    1,
+                ).otherwise(0)
+            )
+            if locs_mode
+            else F.max(F.lit(0))
+        )
+        out = (
+            matched.groupBy("doc_id")
+            .agg(
+                F.countDistinct("term").alias("n_match"),
+                F.sum(contrib).alias("score_d"),
+                unscorable.alias("unscorable"),
+            )
+            .where(F.col("n_match") == n_kw)
+            .select(
+                "doc_id",
+                # partial-locations guard (indexer.go:489-507): zero score
+                F.when(F.col("unscorable") == 1, F.lit(0.0))
+                .otherwise(F.col("score_d"))
+                .cast("float")
+                .alias("score"),
+                F.lit(None).cast("int").alias("proximity"),
+                F.lit(None).cast(T.ArrayType(T.IntegerType())).alias("snippet_locs"),
+            )
+        )
+        return out
+
+    def _score_float32(self, matched: DataFrame, tokens: list[str], n_kw: int) -> DataFrame:
+        """riot-bit-exact scorer + proximity via one Arrow kernel.
+
+        Shuffle on doc_id groups a doc's matched postings (bounded by
+        |query|) into one pandas group; numpy float32 accumulation in
+        query-token order shares `bm25_score_f32`/`token_proximity`
+        with the pytest oracle.
+        """
+        idx = self.index
+        params = idx.config.bm25
+        n_docs, avgdl = idx.n_docs, idx.avgdl
+        index_type = idx.config.index_type
+        locs_mode = index_type == LOCS_INDEX
+        dfs = idx.lookup_terms(list(set(tokens)))
+        tok_order = {t: i for i, t in enumerate(tokens)}
+        tok_list = list(tokens)
+        df_list = [dfs.get(t, 0) for t in tokens]
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf["term"].nunique() != n_kw:
+                return pd.DataFrame(
+                    columns=["doc_id", "score", "proximity", "snippet_locs"]
+                )
+            doc_id = int(pdf["doc_id"].iloc[0])
+            dl = float(pdf["token_len"].iloc[0])
+            tfs = [0.0] * len(tok_list)
+            poss: list[list[int]] = [[] for _ in tok_list]
+            has_unscorable = False
+            for _, row in pdf.iterrows():
+                t = row["term"]
+                if t not in tok_order:
+                    continue  # label keyword
+                i = tok_order[t]
+                pos = row["positions"]
+                pos = list(pos) if pos is not None else []
+                if row["is_label"] or (locs_mode and not pos):
+                    has_unscorable = True
+                poss[i] = pos
+                tfs[i] = len(pos) if locs_mode else float(row["tf"])
+            if locs_mode and has_unscorable:
+                return pd.DataFrame(
+                    [[doc_id, np.float32(0.0), -1, []]],
+                    columns=["doc_id", "score", "proximity", "snippet_locs"],
+                )
+            score = bm25_score_f32(
+                tfs, df_list, dl, n_docs, avgdl, params, index_type
+            )
+            prox, snippet = (-1, [])
+            if locs_mode:
+                prox, snippet = token_proximity(poss, tok_list)
+            return pd.DataFrame(
+                [[doc_id, score, prox, snippet]],
+                columns=["doc_id", "score", "proximity", "snippet_locs"],
+            )
+
+        return matched.groupBy("doc_id").applyInPandas(score_group, RESULT_SCHEMA)
+
+    # ------------------------------------------------------------ logic ops
+
+    def _doc_set(self, terms: list[str], doc_ids: list[int] | None = None) -> DataFrame:
+        """(doc_id) matching ANY of terms — union of posting lists."""
+        return self._matched(terms, doc_ids).select("doc_id").distinct()
+
+    def _logic_lookup(self, req: SearchRequest) -> DataFrame | None:
+        """LogicLookup (core/indexer.go:561-685): unscored set algebra.
+
+        must  = AND intersection (inner joins / grouped count)
+        should= >=1 hit (union, distinct)
+        notIn = anti-join
+        notIn-only quirk: riot returns the notIn docs themselves
+        (indexer.go:660-682) — reproduced (deduplicated).
+        """
+        idx = self.index
+        present = idx.lookup_terms(
+            list(set(req.must) | set(req.should) | set(req.not_in))
+        )
+        if req.must:
+            if any(t not in present for t in req.must):
+                return None
+            cand = (
+                self._matched(req.must, req.doc_ids)
+                .groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("nm"))
+                .where(F.col("nm") == len(set(req.must)))
+                .select("doc_id")
+            )
+            if req.should:
+                should_present = [t for t in req.should if t in present]
+                if not should_present:
+                    return self._empty().select("doc_id")
+                cand = cand.join(
+                    self._doc_set(should_present), "doc_id", "left_semi"
+                )
+        elif req.should:
+            should_present = [t for t in req.should if t in present]
+            if not should_present:
+                return None
+            cand = self._doc_set(should_present, req.doc_ids)
+        elif req.not_in:
+            ni = [t for t in req.not_in if t in present]
+            if not ni:
+                return self._empty().select("doc_id")
+            return self._doc_set(ni, req.doc_ids)
+        else:
+            return None
+        if req.not_in:
+            ni = [t for t in req.not_in if t in present]
+            if ni:
+                cand = cand.join(self._doc_set(ni), "doc_id", "left_anti")
+        return cand
+
+    # --------------------------------------------------------------- search
+
+    def search(self, req: SearchRequest) -> DataFrame:
+        """Returns (doc_id, score, proximity, snippet_locs) ranked
+        `score desc, doc_id asc` (deterministic tie policy, SURVEY §2.9.5),
+        sliced [offset, offset+max_outputs).
+
+        count_docs_only => single-row (num_docs LONG).
+        orderless       => unranked candidate rows (Q15).
+        """
+        is_logic = bool(req.must or req.should or req.not_in)
+        if is_logic:
+            cand = self._logic_lookup(req)
+            if cand is None:
+                result = self._empty()
+            else:
+                result = cand.select(
+                    "doc_id",
+                    F.lit(0.0).cast("float").alias("score"),
+                    F.lit(None).cast("int").alias("proximity"),
+                    F.lit(None).cast(T.ArrayType(T.IntegerType())).alias("snippet_locs"),
+                )
+        else:
+            tokens = req.all_tokens()
+            keywords = tokens + list(req.labels)
+            n_kw = len(set(keywords))
+            matched = self._candidates_and(keywords, req.doc_ids)
+            if matched is None or not keywords:
+                result = self._empty()
+            elif req.orderless:
+                return (
+                    matched.groupBy("doc_id")
+                    .agg(F.countDistinct("term").alias("nm"))
+                    .where(F.col("nm") == n_kw)
+                    .select("doc_id")
+                )
+            elif req.scorer == "float32":
+                result = self._score_float32(matched, tokens, n_kw)
+            else:
+                result = self._score_native(matched, tokens, n_kw)
+
+        if req.count_docs_only:
+            return result.agg(F.count("*").alias("num_docs"))
+
+        if req.criteria == "proximity":
+            result = result.withColumn(
+                "score",
+                F.when(
+                    F.col("proximity") >= 0,
+                    (F.lit(1.0) / (F.col("proximity") + 1.0)).cast("float"),
+                ).otherwise(F.lit(0.0).cast("float")),
+            )
+        elif callable(req.criteria):
+            fn = req.criteria
+
+            def apply_criteria(batches):
+                for pdf in batches:
+                    scores = fn(pdf)
+                    pdf = pdf.assign(score=scores.astype("float32"))
+                    yield pdf[scores.notna().to_numpy()]
+
+            result = result.mapInPandas(apply_criteria, RESULT_SCHEMA)
+
+        order = (
+            [F.asc("score"), F.desc("doc_id")]
+            if req.reverse_order
+            else [F.desc("score"), F.asc("doc_id")]
+        )
+        result = result.orderBy(*order)
+        if req.max_outputs:
+            # Spark compiles orderBy().limit() to per-partition partial
+            # top-k + TakeOrderedAndProject — riot's Q11/Q12 for free.
+            result = result.limit(req.offset + req.max_outputs)
+        if req.offset:
+            result = result.offset(req.offset)
+        return result

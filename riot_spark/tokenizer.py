@@ -1,0 +1,150 @@
+"""Tokenization — the projection layer (SURVEY.md §2.2).
+
+Canonical mode mirrors riot's external-tokens configuration (Using=2,
+segment.go:117-124) fed by the query tokenizer semantics of
+engine.go:504-506: ``lower(text)`` split on a single space.  Positions
+are byte offsets of each occurrence's first byte in the UTF-8 encoding
+of the lowercased text (types/doc_index_data.go:45-51).
+
+Two build paths:
+
+* ``tokenize_freq`` — frequencies only.  Pure JVM (split/explode/
+  groupBy), whole-stage-codegen throughout; this is the hot path for
+  FrequenciesIndex-mode builds at 100 TB.
+* ``tokenize_locs`` — adds byte positions via ONE vectorized
+  Arrow-batched pandas UDF (no per-row Python UDF), for LocsIndex mode
+  (proximity + snippet locations).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.FloatType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def tokenize_text(text: str) -> list[tuple[str, list[int]]]:
+    """Pure-Python canonical tokenizer: (term, byte positions) pairs.
+
+    Matches riot's TokenData contract — one entry per *distinct* term,
+    locations = byte offsets of every occurrence, in text order of first
+    appearance (makeTokensMap, segment.go:210-246).  Shared by the
+    Spark UDF and the pytest oracle so both sides tokenize identically.
+    """
+    out: dict[str, list[int]] = {}
+    pos = 0
+    for word in text.lower().split(" "):
+        nbytes = len(word.encode("utf-8"))
+        if word:
+            out.setdefault(word, []).append(pos)
+        pos += nbytes + 1  # the single-space separator is 1 byte
+    return list(out.items())
+
+
+def tokenize_freq(
+    documents: DataFrame,
+    text_col: str = "text",
+    stopwords: frozenset[str] = frozenset(),
+) -> DataFrame:
+    """documents -> (doc_id, term, tf) — JVM-only, no Python in the path.
+
+    `split` + `explode` + hash-aggregate stay inside whole-stage
+    codegen; Catalyst prunes every column but (doc_id, text) out of the
+    parquet scan.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    ).where(F.col("term") != "")
+    if stopwords:
+        toks = toks.where(~F.col("term").isin(*sorted(stopwords)))
+    return (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("float").alias("tf"))
+        .withColumn("positions", F.lit(None).cast(T.ArrayType(T.IntegerType())))
+    )
+
+
+def tokenize_locs(
+    documents: DataFrame,
+    text_col: str = "text",
+    stopwords: frozenset[str] = frozenset(),
+) -> DataFrame:
+    """documents -> (doc_id, term, tf, positions) with byte offsets.
+
+    One Arrow-batched mapInPandas; tf = len(positions) (segment.go:290-296).
+    """
+    stop = stopwords  # captured by value in the closure, broadcast via pickle
+    cols = documents.select("doc_id", F.col(text_col).alias("text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            terms: list[str] = []
+            tfs: list[float] = []
+            poss: list[list[int]] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for term, positions in tokenize_text(text):
+                    if term in stop:
+                        continue
+                    doc_ids.append(int(doc_id))
+                    terms.append(term)
+                    tfs.append(float(len(positions)))
+                    poss.append(positions)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "term": terms, "tf": tfs, "positions": poss}
+            )
+
+    return cols.mapInPandas(run, schema=TOKENS_SCHEMA)
+
+
+def label_tokens(
+    documents: DataFrame, labels_col: str = "labels"
+) -> DataFrame:
+    """Labels become searchable keywords with empty positions
+    (segment.go:264-279): they participate in intersection but carry no
+    tf contribution to proximity, and are excluded from BM25 scoring
+    (core/indexer.go:528)."""
+    return documents.select(
+        "doc_id", F.explode(F.col(labels_col)).alias("term")
+    ).select(
+        "doc_id",
+        "term",
+        # riot stores Frequency = len(locations) = 0 for labels
+        # (segment.go:290-296 over the empty label locations)
+        F.lit(0.0).cast("float").alias("tf"),
+        F.array().cast(T.ArrayType(T.IntegerType())).alias("positions"),
+        F.lit(True).alias("is_label"),
+    )
+
+
+def doc_lengths(tokens: DataFrame, mode: str = "distinct") -> DataFrame:
+    """(doc_id, token_len).
+
+    'distinct' = riot external-tokens semantics: TokenLen =
+    len(data.Tokens) = #distinct terms (segment.go:182,284; SURVEY §2.9.2).
+    'occurrences' = sum of tfs.
+    """
+    if mode == "distinct":
+        agg = F.count("*")
+    elif mode == "occurrences":
+        agg = F.sum("tf")
+    else:
+        raise ValueError(f"unknown doc_len_mode {mode!r}")
+    return tokens.groupBy("doc_id").agg(agg.cast("float").alias("token_len"))
+
+
+def tokenize_query(text: str) -> list[str]:
+    """Query tokenizer — Engine.Tokens NotUseGse path (engine.go:504-506)."""
+    return [w for w in text.lower().split(" ") if w]

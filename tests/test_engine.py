@@ -1,0 +1,245 @@
+"""Spark engine vs the transcribed goldens + the pure-Python oracle.
+
+The float32 scorer must be bit-exact to riot; the native (columnar)
+scorer must be rank-identical with scores equal to float32 tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from riot_spark.build import build_index_from_tokens
+from riot_spark.config import BM25Params, EngineConfig, FREQUENCIES_INDEX, LOCS_INDEX
+from riot_spark.query import SearchEngine, SearchRequest
+from riot_spark.tokenizer import label_tokens
+
+from tests.conftest import tokens_df
+from tests.test_oracle import E2E_DOCS, E2E_TOKEN_LENS, LOCS_LOOKUP_GOLDEN, make_e2e_index
+
+LOCS_DOCS = [
+    (1, "token2", [0]), (1, "token3", [7]),
+    (2, "token1", [0]), (2, "token2", [7]), (2, "token3", [14]),
+    (3, "token1", [0]), (3, "token2", [7]),
+    (4, "token2", [0]),
+    (7, "token1", [0]), (7, "token3", [7]),
+    (9, "token3", [0]),
+]
+
+
+@pytest.fixture(scope="module")
+def locs_engine(spark):
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=4)
+    idx = build_index_from_tokens(tokens_df(spark, LOCS_DOCS), cfg)
+    return SearchEngine(idx)
+
+
+@pytest.fixture(scope="module")
+def e2e_engine(spark):
+    rows = [(d, t, p) for d, toks in E2E_DOCS.items() for t, p in toks]
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=4)
+    doc_stats = spark.createDataFrame(
+        [(d, float(v)) for d, v in E2E_TOKEN_LENS.items()],
+        "doc_id LONG, token_len FLOAT",
+    )
+    idx = build_index_from_tokens(tokens_df(spark, rows), cfg, doc_stats=doc_stats)
+    return SearchEngine(idx)
+
+
+def _table(engine, tokens, scorer="float32", **kw):
+    res = engine.search(SearchRequest(tokens=tokens, scorer=scorer, **kw)).collect()
+    # golden tables are in docId-desc order
+    rows = sorted(res, key=lambda r: -r["doc_id"])
+    return [
+        (r["doc_id"], r["proximity"], list(r["snippet_locs"] or []))
+        for r in rows
+    ]
+
+
+def test_locs_lookup_golden_spark(locs_engine):
+    for q, expected in LOCS_LOOKUP_GOLDEN.items():
+        assert _table(locs_engine, list(q)) == expected, q
+
+
+def test_docids_whitelist_spark(locs_engine):
+    got = _table(locs_engine, ["token2"], doc_ids=[1, 3])
+    assert got == [(3, 0, [7]), (1, 0, [0])]
+
+
+def test_count_docs_only(locs_engine):
+    res = locs_engine.search(
+        SearchRequest(tokens=["token2", "token3"], count_docs_only=True)
+    ).collect()
+    assert res[0]["num_docs"] == 2
+
+
+def test_orderless(locs_engine):
+    res = locs_engine.search(
+        SearchRequest(tokens=["token2", "token3"], orderless=True)
+    ).collect()
+    assert sorted(r["doc_id"] for r in res) == [1, 2]
+
+
+def test_e2e_bm25_both_scorers(e2e_engine):
+    oracle = make_e2e_index()
+    expect = [(r["doc_id"], r["score"]) for r in oracle.rank(["world", "人口"])]
+    for scorer in ("float32", "native"):
+        res = e2e_engine.search(
+            SearchRequest(tokens=["world", "人口"], scorer=scorer)
+        ).collect()
+        got = [(r["doc_id"], r["score"]) for r in res]
+        assert [g[0] for g in got] == [e[0] for e in expect], scorer
+        for (gd, gs), (ed, es) in zip(got, expect):
+            if scorer == "float32":
+                assert np.float32(gs) == np.float32(es), (scorer, gd)
+            else:
+                assert abs(gs - float(es)) < 1e-5, (scorer, gd)
+    # golden int(score*1000) from NumShards=1 hand computation
+    res = e2e_engine.search(
+        SearchRequest(tokens=["world", "人口"], scorer="float32")
+    ).collect()
+    assert [(r["doc_id"], int(r["score"] * 1000)) for r in res] == [
+        (2, 2459), (1, 2293), (5, 2186)]
+
+
+def test_e2e_proximity_golden_spark(e2e_engine):
+    res = e2e_engine.search(
+        SearchRequest(tokens=["world", "人口"], scorer="float32")
+    ).collect()
+    by_id = {r["doc_id"]: r for r in res}
+    assert by_id[2]["proximity"] == 2 and list(by_id[2]["snippet_locs"]) == [4, 11]
+    assert by_id[5]["proximity"] == 11 and list(by_id[5]["snippet_locs"]) == [4, 20]
+    assert by_id[1]["proximity"] == 14 and list(by_id[1]["snippet_locs"]) == [4, 23]
+
+
+def test_offset_and_max_outputs(e2e_engine):
+    """engine_test.go:84-104 golden: RankByTokenProximity criteria,
+    reverse order, offset 1, max 3 over asc [1,5,2] => [5, 2]."""
+    res = e2e_engine.search(
+        SearchRequest(
+            tokens=["world", "人口"], reverse_order=True, offset=1, max_outputs=3,
+            scorer="float32", criteria="proximity",
+        )
+    ).collect()
+    assert [r["doc_id"] for r in res] == [5, 2]
+
+
+def test_reverse_order(e2e_engine):
+    """engine_test.go:66-82 golden (proximity criteria): [1, 5, 2]."""
+    res = e2e_engine.search(
+        SearchRequest(
+            tokens=["world", "人口"], reverse_order=True, scorer="float32",
+            criteria="proximity",
+        )
+    ).collect()
+    assert [r["doc_id"] for r in res] == [1, 5, 2]
+    # proximity ranking desc: engine_test.go:36-61 => [2, 5, 1], scores
+    # int(score*1000) == 333, 83, 66
+    res = e2e_engine.search(
+        SearchRequest(tokens=["world", "人口"], scorer="float32", criteria="proximity")
+    ).collect()
+    assert [(r["doc_id"], int(r["score"] * 1000)) for r in res] == [
+        (2, 333), (5, 83), (1, 66)]
+
+
+def test_custom_scoring_criteria(e2e_engine):
+    """Q8: custom callable criteria; None score drops the doc
+    (core/ranker.go:135,192 empty-slice semantics)."""
+
+    def crit(pdf):
+        import pandas as pd
+
+        # drop doc 5, rank others by doc_id
+        return pd.Series(
+            [None if d == 5 else float(d) for d in pdf["doc_id"]], dtype="Float32"
+        )
+
+    res = e2e_engine.search(
+        SearchRequest(tokens=["world", "人口"], scorer="float32", criteria=crit)
+    ).collect()
+    assert [r["doc_id"] for r in res] == [2, 1]
+
+
+def test_missing_token_empty(e2e_engine):
+    res = e2e_engine.search(SearchRequest(tokens=["world", "nosuch"])).collect()
+    assert res == []
+
+
+def test_labels_participate_in_intersection(spark):
+    """Label keywords intersect but don't score (segment.go:264-279,
+    core/indexer.go:528): partial-locations guard keeps the doc with
+    proximity computed over content tokens."""
+    rows = [
+        (1, "token2", [0, 21]), (1, "token3", [28]), (1, "token4", [7, 14, 35]),
+        (2, "token2", [0, 21]), (2, "token3", [28]), (2, "token4", [7, 14, 35]),
+    ]
+    labels = label_tokens(
+        spark.createDataFrame([(1, ["label1"])], "doc_id LONG, labels ARRAY<STRING>")
+    )
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=2)
+    idx = build_index_from_tokens(tokens_df(spark, rows), cfg, labels=labels)
+    engine = SearchEngine(idx)
+    for scorer in ("float32", "native"):
+        res = engine.search(
+            SearchRequest(tokens=["token2", "token3"], labels=["label1"], scorer=scorer)
+        ).collect()
+        assert [r["doc_id"] for r in res] == [1], scorer
+        if scorer == "float32":
+            assert res[0]["proximity"] == 1
+            assert list(res[0]["snippet_locs"]) == [21, 28]
+
+
+def test_logic_lookup(e2e_engine):
+    """must/should/notIn set algebra (core/indexer.go:561-685)."""
+    # must=[world] should=[七十亿, 有] -> docs with world AND (七十亿 or 有)
+    res = e2e_engine.search(
+        SearchRequest(must=["world"], should=["七十亿", "有"])
+    ).collect()
+    assert sorted(r["doc_id"] for r in res) == [1, 5]
+    # must + notIn
+    res = e2e_engine.search(
+        SearchRequest(must=["world"], not_in=["七十亿"])
+    ).collect()
+    assert sorted(r["doc_id"] for r in res) == [2, 3]
+    # should only, minus notIn
+    res = e2e_engine.search(
+        SearchRequest(should=["有", "七十亿"], not_in=["world"])
+    ).collect()
+    assert sorted(r["doc_id"] for r in res) == [4, 6]
+    # notIn only: riot returns the notIn docs themselves (indexer.go:660-682)
+    res = e2e_engine.search(SearchRequest(not_in=["七十亿"])).collect()
+    assert sorted(r["doc_id"] for r in res) == [1, 5, 6]
+    # missing must term => empty
+    res = e2e_engine.search(
+        SearchRequest(must=["world", "nosuch"], should=["有"])
+    ).collect()
+    assert res == []
+
+
+def test_freq_index_mode(spark):
+    """FrequenciesIndex: stored tf drives BM25; the 76055 golden
+    end-to-end through Spark (core/indexer_test.go:405-441)."""
+    rows = [
+        (1, "token2", 3.0), (1, "token3", 7.0), (1, "token4", 15.0),
+        (2, "token6", 3.0), (2, "token7", 15.0),
+    ]
+    toks = spark.createDataFrame(
+        [(d, t, tf, None) for d, t, tf in rows],
+        "doc_id LONG, term STRING, tf FLOAT, positions ARRAY<INT>",
+    )
+    doc_stats = spark.createDataFrame(
+        [(1, 6.0), (2, 2.0)], "doc_id LONG, token_len FLOAT"
+    )
+    cfg = EngineConfig(
+        index_type=FREQUENCIES_INDEX,
+        bm25=BM25Params(k1=1.0, b=1.0),
+        num_index_partitions=2,
+    )
+    idx = build_index_from_tokens(toks, cfg, doc_stats=doc_stats)
+    engine = SearchEngine(idx)
+    for scorer in ("float32", "native"):
+        res = engine.search(
+            SearchRequest(tokens=["token2", "token3", "token4"], scorer=scorer)
+        ).collect()
+        assert len(res) == 1 and res[0]["doc_id"] == 1, scorer
+        assert int(res[0]["score"] * 10000) == 76055, scorer
