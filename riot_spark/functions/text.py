@@ -1,0 +1,112 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All JVM-side (pyspark.sql.functions only — no Python in the hot path),
+so they stay inside whole-stage codegen and scale to 100 TB. Each has
+an ANSI-SQL twin in __spark_entry__.oracle_sql() so DuckDB verifies the
+exact same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic English stopword list shared with the SQL oracles.
+STOPWORDS = (
+    "the a an and or of to in is it that for on with as at by be this "
+    "are was were from has have had not but what all we you he she they"
+).split()
+
+# BPE-ish token pattern: runs of word chars OR single non-space symbols —
+# approximates subword pre-tokenization (GPT-2 style split) with a
+# regex available identically in Spark and DuckDB.
+BPE_ISH_PATTERN = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+def _words(text_col: str = "text") -> Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+
+
+def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_distinct_tokens)."""
+    return documents.select(
+        "doc_id",
+        F.size(_words(text_col)).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0)
+        ).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(_words(text_col))).cast("long").alias(
+            "n_distinct_tokens"
+        ),
+    )
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1].
+
+    Features mirror the usual web-text filters (length, stopword ratio,
+    lexical diversity, mean word length); fully columnar.
+    """
+    w = _words(text_col)
+    n = F.size(w).cast("double")
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS))).cast("double")
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / F.greatest(
+        n, F.lit(1.0)
+    )
+    stop_ratio = stop_hits / F.greatest(n, F.lit(1.0))
+    mean_wlen = (
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
+        / F.greatest(n, F.lit(1.0))
+    )
+    length_ok = F.when((n >= 20) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    stop_ok = F.when(stop_ratio >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    composite = (length_ok + wlen_ok + stop_ok + distinct_ratio) / F.lit(4.0)
+    return documents.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(composite, 4).alias("quality"),
+    )
+
+
+# Tiny per-language marker lexicons (deterministic heuristic shared
+# with the SQL oracle): language with the most marker hits wins;
+# ties and zero-hit docs fall back to 'en'.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "es": ["el", "la", "los", "que", "es", "por"],
+    "fr": ["le", "les", "des", "est", "une", "dans"],
+}
+
+
+def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang) — marker-word voting, deterministic
+    tie-break by language code order (ascending), zero hits => 'en'."""
+    w = _words(text_col)
+    hit_cols = [
+        F.size(F.filter(w, lambda x: x.isin(ms))).alias(f"hits_{lang}")
+        for lang, ms in sorted(LANG_MARKERS.items())
+    ]
+    scored = documents.select("doc_id", *hit_cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("en")
+    # first language (ascending code) achieving the max wins
+    for lg in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)
+        ).otherwise(pred)
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+def doc_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) — md5 over whitespace-normalized lowercase
+    text: the exact-dedup key (cheap, collision-safe at corpus scale)."""
+    norm = F.concat_ws(" ", _words(text_col))
+    return documents.select("doc_id", F.md5(norm).alias("fingerprint"))

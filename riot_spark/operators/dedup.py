@@ -1,0 +1,232 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket self-join), SimHash, and n-gram Jaccard.  Everything is
+columnar DataFrame ops — deterministic hash functions are md5-derived
+so the DuckDB oracle can reproduce them bit-for-bit.
+
+Scale notes (100 TB):
+* exact dedup = one shuffle on the fingerprint; AQE handles skew from
+  boilerplate-heavy fingerprints.
+* brute-force pair enumeration is quadratic — `ngram_jaccard_pairs`
+  joins on shared shingles (candidate blocking), and the LSH variant
+  reduces candidates to same-band buckets, the standard web-dedup
+  recipe; band buckets shuffle once, hot buckets are bounded by the
+  band width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingles(text_col: str, n: int):
+    """Word n-gram shingle array from lower/space-split text."""
+    w = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    if n == 1:
+        return F.array_distinct(w)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id) for every doc whose normalized text
+    collides with an earlier (min doc_id) doc. One shuffle."""
+    from riot_spark.functions.text import doc_fingerprint
+
+    fp = doc_fingerprint(documents, text_col)
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        fp.join(canon, "fingerprint")
+        .where(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id")
+    )
+
+
+def shingle_docs(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    return documents.select(
+        "doc_id", _shingles(text_col, n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs with |A∩B|/|A∪B| >= threshold.
+
+    Candidate blocking: only pairs sharing >=1 shingle are compared
+    (explode + self-equi-join on shingle), so cost is driven by
+    shingle document-frequency, not corpus².
+    """
+    sh = shingle_docs(documents, n, text_col)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig ARRAY<STRING>) — MinHash where hash_i(s) =
+    md5(s || '#' || i), minimum taken in hex-string order. String
+    comparison of fixed-width lowercase hex == unsigned numeric order,
+    and it is reproducible verbatim in ANSI SQL (oracle parity).
+    """
+    sh = shingle_docs(documents, n, text_col)
+
+    def hasher(i: int):
+        salt = f"#{i}"
+        # single-arg lambda: a two-arg lambda would make Spark pass the
+        # array index as the second argument
+        return lambda s: F.md5(F.concat(s, F.lit(salt)))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), hasher(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    num_hashes/bands rows per band; band key = concat of the band's
+    signature slice. Returns (doc_a, doc_b, n_bands_shared).
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signature(documents, n, num_hashes, text_col)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("|", *[F.col("sig")[bi * rows + r] for r in range(rows)]).alias(
+                "key"
+            ),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def simhash(
+    documents: DataFrame, bits: int = 60, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash LONG) — 60-bit SimHash over distinct words.
+
+    Word hash = first 15 hex chars of md5 (60 bits, fits a signed
+    LONG); bit j of the doc hash = majority sign of word-bit j.
+    Columnar: explode words -> per-bit ±1 sums -> reassemble. The
+    per-bit aggregate is 60 sums in ONE hash-aggregate pass, not 60
+    passes.
+    """
+    assert bits <= 60
+    w = F.explode(
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        )
+    ).alias("word")
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
+    exploded = documents.select("doc_id", w).select(
+        "doc_id", h.alias("h")
+    )
+    bit_sums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bit_sums.select("doc_id", out.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    max_hamming: int = 8,
+    bits: int = 60,
+    prefix_bits: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidates: block on the top `prefix_bits` of the
+    simhash (docs differing only in low bits collide), then filter by
+    exact Hamming distance via bit_count(xor). The multi-probe/rotation
+    generalization is a TODO at this tier."""
+    sh = simhash(documents, bits, text_col)
+    block = F.shiftright(F.col("simhash"), bits - prefix_bits).alias("block")
+    blocked = sh.select("doc_id", "simhash", block)
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

