@@ -17,14 +17,18 @@ not a port of riot's goroutine/channel design.
 """
 
 from riot_spark.config import BM25Params, EngineConfig
-from riot_spark.build import IndexBuilder, build_index
+from riot_spark.build import IndexBuilder, build_index, build_index_from_tokens
+from riot_spark.engine import Engine, remove_docs
 from riot_spark.query import SearchEngine, SearchRequest
 
 __all__ = [
     "BM25Params",
+    "Engine",
     "EngineConfig",
     "IndexBuilder",
     "build_index",
+    "build_index_from_tokens",
+    "remove_docs",
     "SearchEngine",
     "SearchRequest",
 ]

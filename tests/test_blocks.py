@@ -1,0 +1,120 @@
+"""Blocked index: round-trip, differential vs flat engine, resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from riot_spark.blocks import (
+    BlockSearchEngine,
+    blocked_from_index,
+    read_blocked_index,
+    write_blocked_index,
+)
+from riot_spark.build import build_index
+from riot_spark.codec import delta_decode, unpack_ints_as_floats
+from riot_spark.config import EngineConfig, FREQUENCIES_INDEX
+from riot_spark.oracle import BM25Params, bm25_score_f32, bm25_score_f32_vec
+from riot_spark.query import SearchEngine, SearchRequest
+from riot_spark.sources.corpus import load_documents
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def sf_index(spark):
+    docs = load_documents(spark, SF_SMOKE)
+    cfg = EngineConfig(index_type=FREQUENCIES_INDEX, num_index_partitions=8)
+    return build_index(docs, cfg)
+
+
+@pytest.fixture(scope="module")
+def bindex(sf_index):
+    # small doc_block_bits so multiple blocks per term exist (500 docs)
+    return blocked_from_index(sf_index, doc_block_bits=6)
+
+
+def test_blocks_roundtrip_to_flat(sf_index, bindex):
+    """decode(blocks) == the flat (term, doc_id, tf) relation."""
+    flat = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in sf_index.postings.collect()
+    }
+    unpacked = {}
+    for r in bindex.blocks.collect():
+        ids = delta_decode(bytes(r["doc_ids"]))
+        tfs = unpack_ints_as_floats(bytes(r["tfs"]))
+        assert r["n"] == len(ids)
+        assert r["first_doc_id"] == ids[0] and r["last_doc_id"] == ids[-1]
+        assert np.all(np.diff(ids) > 0), "doc_ids strictly ascending"
+        for i, d in enumerate(ids):
+            unpacked[(r["term"], int(d))] = float(tfs[i])
+    assert unpacked == {k: float(v) for k, v in flat.items()}
+
+
+@pytest.mark.parametrize(
+    "toks", [["data", "query"], ["join", "filter", "sort"], ["batch"],
+             ["data", "zzznope"]]
+)
+def test_block_engine_rank_identical(sf_index, bindex, toks):
+    flat_eng = SearchEngine(sf_index)
+    block_eng = BlockSearchEngine(bindex)
+    expect = flat_eng.search(
+        SearchRequest(tokens=toks, scorer="float32", max_outputs=50)
+    ).select("doc_id", "score").collect()
+    got = block_eng.search_and(toks, k=50).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
+        (r["doc_id"], np.float32(r["score"])) for r in expect
+    ]
+
+
+def test_vec_scorer_bit_exact():
+    params = BM25Params()
+    tfs = [np.array([1, 3, 7], dtype=np.float32), np.array([2, 0, 5], dtype=np.float32)]
+    dls = np.array([10, 25, 40], dtype=np.float32)
+    vec = bm25_score_f32_vec(tfs, [4, 9], dls, 100, 22.5, params)
+    for i in range(3):
+        scalar = bm25_score_f32(
+            [float(tfs[0][i]), float(tfs[1][i])], [4, 9], float(dls[i]),
+            100, 22.5, params,
+        )
+        assert vec[i] == scalar
+
+
+def test_write_read_resume(tmp_path, spark, sf_index, bindex):
+    path = str(tmp_path / "bidx")
+    inputs = [f"{SF_SMOKE}/documents.parquet"]
+    m1 = write_blocked_index(bindex, path, input_paths=inputs, config_repr="t")
+    assert not m1["skipped"] and m1["status"] == "done"
+    assert len(m1["partitions"]) >= 1
+    # resume: identical input fingerprint => skipped
+    m2 = write_blocked_index(bindex, path, input_paths=inputs, config_repr="t")
+    assert m2["skipped"]
+    # changed config => rebuild
+    m3 = write_blocked_index(bindex, path, input_paths=inputs, config_repr="t2")
+    assert not m3["skipped"]
+    # read back and query
+    bi = read_blocked_index(spark, path)
+    eng = BlockSearchEngine(bi)
+    res = eng.search_and(["data", "query"], k=5).collect()
+    flat = SearchEngine(sf_index).search(
+        SearchRequest(tokens=["data", "query"], scorer="float32", max_outputs=5)
+    ).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in res] == [
+        (r["doc_id"], np.float32(r["score"])) for r in flat
+    ]
+
+
+def test_deterministic_rebuild(spark, sf_index):
+    """Same input twice => identical block contents (resume invariant)."""
+    b1 = blocked_from_index(sf_index, doc_block_bits=6, cache=False)
+    b2 = blocked_from_index(sf_index, doc_block_bits=6, cache=False)
+    rows1 = sorted(
+        (r["term"], r["block_id"], bytes(r["doc_ids"]), bytes(r["tfs"]))
+        for r in b1.blocks.collect()
+    )
+    rows2 = sorted(
+        (r["term"], r["block_id"], bytes(r["doc_ids"]), bytes(r["tfs"]))
+        for r in b2.blocks.collect()
+    )
+    assert rows1 == rows2

@@ -1,0 +1,84 @@
+"""Engine facade (riot Init/Index/RemoveDoc/Flush/Search) + compat
+tokenizer golden tests."""
+
+from __future__ import annotations
+
+from riot_spark.compat import for_split_data, split_chars, tokenize_compat
+from riot_spark.config import EngineConfig, FREQUENCIES_INDEX
+from riot_spark.engine import Engine, remove_docs
+from riot_spark.build import build_index
+from riot_spark.query import SearchEngine, SearchRequest
+
+
+def test_engine_lifecycle(spark):
+    """Mirrors riot's add / search / upsert / remove lifecycle
+    (engine_test.go, core/indexer_test.go:36-134 splice semantics)."""
+    eng = Engine(spark, EngineConfig(index_type=FREQUENCIES_INDEX,
+                                     num_index_partitions=2))
+    eng.index_doc(1, "token2 token3")
+    eng.index_doc(2, "token1 token2 token3")
+    eng.index_doc(3, "token1 token2")
+    eng.flush()
+    res = eng.search(SearchRequest(tokens=["token1", "token2"], orderless=True))
+    assert sorted(r["doc_id"] for r in res.collect()) == [2, 3]
+
+    # upsert doc 1 (re-add replaces: core/indexer.go:190-199)
+    eng.index_doc(1, "token1 token3")
+    eng.flush()
+    res = eng.search(SearchRequest(tokens=["token1"], orderless=True))
+    assert sorted(r["doc_id"] for r in res.collect()) == [1, 2, 3]
+    res = eng.search(SearchRequest(tokens=["token2"], orderless=True))
+    assert sorted(r["doc_id"] for r in res.collect()) == [2, 3]
+
+    # remove doc 2
+    eng.remove_doc(2)
+    eng.flush()
+    assert eng.num_docs() == 2
+    res = eng.search(SearchRequest(tokens=["token2"], orderless=True))
+    assert sorted(r["doc_id"] for r in res.collect()) == [3]
+    assert sorted(r["doc_id"] for r in eng.all_doc_ids().collect()) == [1, 3]
+    assert eng.num_docs_indexed == 4 and eng.num_docs_removed == 1
+
+
+def test_remove_docs_functional(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "c d e")], "doc_id LONG, text STRING"
+    )
+    idx = build_index(
+        docs, EngineConfig(index_type=FREQUENCIES_INDEX, num_index_partitions=2)
+    )
+    idx2 = remove_docs(idx, [2])
+    assert idx2.n_docs == 2
+    assert idx2.lookup_terms(["d"]) == {"d": 1}  # df decremented
+    res = SearchEngine(idx2).search(SearchRequest(tokens=["c"], orderless=True))
+    assert sorted(r["doc_id"] for r in res.collect()) == [1, 3]
+
+
+def test_for_split_data_semantics():
+    """segment.go:40-77: word + cumulative prefix concat, running
+    token-counter positions; Using=6 adds forward combinations."""
+    tmap, num = for_split_data(["a", "b", "c"], using=4)
+    assert tmap == {
+        "a": [1, 2], "b": [3], "ab": [4], "c": [5], "abc": [6],
+    }
+    assert num == 6
+    tmap6, num6 = for_split_data(["a", "b"], using=6)
+    # i=0: a(1), a(2 cum), b(3 fwd); i=1: b(4), ab(5 cum)
+    assert tmap6 == {"a": [1, 2], "b": [3, 4], "ab": [5]}
+    assert num6 == 5
+    # stop tokens skipped without consuming counters
+    tmap_s, num_s = for_split_data(["a", "b"], using=4, stop_tokens=frozenset(["b"]))
+    assert tmap_s == {"a": [1, 2], "ab": [3]}
+    assert num_s == 3
+
+
+def test_split_chars():
+    assert split_chars("ab 人口") == ["a", "b", "人", "口"]
+
+
+def test_tokenize_compat_spark(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    rows = {r["term"]: r for r in tokenize_compat(docs, using=4).collect()}
+    assert set(rows) == {"a", "b", "ab", "c", "abc"}
+    assert list(rows["a"]["positions"]) == [1, 2]
+    assert rows["a"]["token_len"] == 6.0

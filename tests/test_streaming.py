@@ -1,0 +1,66 @@
+"""Streaming incremental index: converges to the batch-built index."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from riot_spark.build import build_index
+from riot_spark.config import EngineConfig, FREQUENCIES_INDEX
+from riot_spark.query import SearchEngine, SearchRequest
+from riot_spark.streaming.incremental import StreamingIndexer
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_incremental_converges_to_batch(spark, tmp_path):
+    cfg = EngineConfig(index_type=FREQUENCIES_INDEX, num_index_partitions=4)
+    sx = StreamingIndexer(spark, str(tmp_path / "stream_idx"), cfg)
+
+    batch1 = [(1, "hello world data"), (2, "data query engine"),
+              (3, "world query data")]
+    batch2 = [(4, "spark data query"),
+              (2, "data engine rewritten")]  # re-add of doc 2
+
+    sx.process_batch(_docs(spark, batch1), 0)
+    sx.process_batch(_docs(spark, batch2), 1)
+
+    live = sx.build_live_index()
+    final_docs = [(1, "hello world data"), (3, "world query data"),
+                  (4, "spark data query"), (2, "data engine rewritten")]
+    batch_idx = build_index(_docs(spark, final_docs), cfg)
+
+    req = SearchRequest(tokens=["data", "query"], scorer="float32")
+    got = SearchEngine(live).search(req).collect()
+    want = SearchEngine(batch_idx).search(req).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
+        (r["doc_id"], np.float32(r["score"])) for r in want
+    ]
+    # doc 2's old content must be gone
+    res = SearchEngine(live).search(SearchRequest(tokens=["rewritten"])).collect()
+    assert [r["doc_id"] for r in res] == [2]
+    assert SearchEngine(live).search(SearchRequest(tokens=["query", "engine"])).collect() == []
+
+
+def test_streaming_file_source_end_to_end(spark, tmp_path):
+    """Drive through an actual readStream (file source, availableNow)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _docs(spark, [(10, "alpha beta"), (11, "beta gamma")]).write.mode(
+        "overwrite"
+    ).parquet(str(src / "p1"))
+
+    cfg = EngineConfig(index_type=FREQUENCIES_INDEX, num_index_partitions=2)
+    sx = StreamingIndexer(spark, str(tmp_path / "sidx"), cfg)
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = sx.start(stream, trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    live = sx.build_live_index()
+    res = SearchEngine(live).search(SearchRequest(tokens=["beta"])).collect()
+    assert sorted(r["doc_id"] for r in res) == [10, 11]
