@@ -22,9 +22,8 @@ full shuffle; one extra float column in the index buys its elimination.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from riot_spark.config import DEFAULT_CONFIG, EngineConfig, FREQUENCIES_INDEX
@@ -37,7 +36,6 @@ from riot_spark.tokenizer import (
 )
 
 
-@dataclass
 class Index:
     """A built index: DataFrames + broadcast-able global stats.
 
@@ -45,15 +43,61 @@ class Index:
     NumShards=1 semantics (SURVEY.md §2.9.4); riot computes them per
     shard (core/indexer.go:445), which makes scores depend on shard
     count. Ours never do.
+
+    (N, avgdl) are LAZY: the build itself is a single one-shuffle job
+    and the stats piggyback on it via ``df.observe`` — zero extra
+    passes when the postings are materialized first (the normal flow).
+    If a caller asks for stats before any action ran, a one-scan
+    doc_stats aggregate computes them on demand.
     """
 
-    postings: DataFrame  # (term, doc_id, tf, positions, token_len, is_label)
-    doc_stats: DataFrame  # (doc_id, token_len)
-    term_stats: DataFrame  # (term, df)
-    n_docs: int
-    avgdl: float
-    config: EngineConfig
-    _term_df_cache: dict | None = None
+    def __init__(
+        self,
+        postings: DataFrame,  # (term, doc_id, tf, positions, token_len, is_label)
+        doc_stats: DataFrame,  # (doc_id, token_len)
+        term_stats: DataFrame,  # (term, df)
+        config: EngineConfig,
+        n_docs: int | None = None,
+        avgdl: float | None = None,
+        observation: Observation | None = None,
+    ):
+        self.postings = postings
+        self.doc_stats = doc_stats
+        self.term_stats = term_stats
+        self.config = config
+        self._n_docs = n_docs
+        self._avgdl = avgdl
+        self._obs = observation
+        self._term_df_cache: dict | None = None
+
+    @property
+    def n_docs(self) -> int:
+        if self._n_docs is None:
+            self._compute_stats()
+        return self._n_docs
+
+    @property
+    def avgdl(self) -> float:
+        if self._avgdl is None:
+            self._compute_stats()
+        return self._avgdl
+
+    def _compute_stats(self) -> None:
+        if self._obs is not None:
+            try:  # non-blocking probe: filled iff an action already ran
+                if not self._obs._jo.getOrEmpty().isEmpty():
+                    row = self._obs.get
+                    self._n_docs = int(row["n"] or 0)
+                    total = float(row["total_len"] or 0.0)
+                    self._avgdl = total / self._n_docs if self._n_docs else 0.0
+                    return
+            except Exception:
+                pass  # internal API moved — fall through to the agg
+        g = self.doc_stats.agg(
+            F.count("*").alias("n"), F.avg("token_len").alias("avgdl")
+        ).collect()[0]
+        self._n_docs = int(g["n"] or 0)
+        self._avgdl = float(g["avgdl"] or 0.0)
 
     def ensure_term_cache(self, max_terms: int = 200_000) -> None:
         """Pull the (term -> df) dictionary onto the driver when the
@@ -97,25 +141,40 @@ def build_index(
         tokens = tokenize_locs(
             documents, stopwords=config.stopwords, doc_len_mode=config.doc_len_mode
         )
-    else:
-        # Freq build hot path: explode -> groupBy(term, doc_id) with
-        # map-side partial aggregation (combines tf before the shuffle)
-        # -> term repartition + sort.  token_len rides along as an INT
-        # max() aggregate: float grouping keys / aggregates fall off
-        # Spark's fast hash-map path (measured 8x slower); ints stay on
-        # it.  Warm throughput ~2.6M posting entries/s on 32 cores
-        # (riot's published best: 2.0M, docs/en/benchmarking.md:13).
+    elif labels_col is None:
+        # Freq build hot path — ONE shuffle total.  repartition on term
+        # runs BEFORE the tf aggregation: hash partitioning on {term} is
+        # a subset of the grouping keys {term, doc_id}, so it satisfies
+        # the aggregate's required ClusteredDistribution and Catalyst
+        # inserts NO second exchange — the plan is
+        #   scan -> split/explode (codegen) -> Exchange(term)
+        #        -> HashAggregate(tf)       -> Sort(term, doc_id)
+        # vs. the naive groupBy-then-repartition which shuffles every
+        # posting twice (measured 1.6x slower at 200k docs / 8 cores).
+        # token_len rides as an INT through the agg: float grouping
+        # keys/aggregates fall off Spark's fast hash-map path (8x).
+        # Global (N, avgdl) piggyback on the same job via observe() on
+        # the pre-explode projection — zero extra passes.
         from riot_spark.tokenizer import _words_col
 
-        raw = documents.select(
+        obs = Observation("riot_spark_build_stats")
+        docs = documents.select(
             "doc_id",
             doc_length_col("text", config.stopwords, config.doc_len_mode)
             .cast("int")
             .alias("token_len"),
-            F.explode(_words_col("text", config.stopwords)).alias("term"),
+            _words_col("text", config.stopwords).alias("words"),
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("token_len").alias("total_len"),
         )
-        tokens = (
-            raw.groupBy("term", "doc_id")
+        raw = docs.select(
+            "doc_id", "token_len", F.explode("words").alias("term")
+        )
+        postings = (
+            raw.repartition(config.num_index_partitions, "term")
+            .groupBy("term", "doc_id")
             .agg(
                 F.count("*").cast("float").alias("tf"),
                 F.max("token_len").cast("float").alias("token_len"),
@@ -126,7 +185,35 @@ def build_index(
                 "tf",
                 F.lit(None).cast("array<int>").alias("positions"),
                 "token_len",
+                F.lit(False).alias("is_label"),
             )
+            .sortWithinPartitions("term", "doc_id")
+        )
+        doc_stats = documents.select(
+            "doc_id",
+            doc_length_col(
+                "text", config.stopwords, config.doc_len_mode
+            ).alias("token_len"),
+        )
+        # df per term: postings are already hash-partitioned by term, so
+        # this groupBy is exchange-free (partial+final in place)
+        term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
+        if cache:
+            postings = postings.cache()
+            doc_stats = doc_stats.cache()
+            term_stats = term_stats.cache()
+        return Index(
+            postings=postings,
+            doc_stats=doc_stats,
+            term_stats=term_stats,
+            config=config,
+            observation=obs,
+        )
+    else:
+        tokens = tokenize_freq(
+            documents,
+            stopwords=config.stopwords,
+            doc_len_mode=config.doc_len_mode,
         )
     # doc_stats straight off the documents scan — no explode, no join
     doc_stats = documents.select(
@@ -194,29 +281,17 @@ def build_index_from_tokens(
     # df counts non-label postings only (labels don't contribute to BM25,
     # core/indexer.go:528) — but labels DO appear in term_stats for
     # intersection existence checks, tracked separately.
-    term_stats = (
-        postings.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .repartitionByRange(config.num_index_partitions, "term")
-    )
+    term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
 
     if cache:
         postings = postings.cache()
         doc_stats = doc_stats.cache()
         term_stats = term_stats.cache()
 
-    g = doc_stats.agg(
-        F.count("*").alias("n"), F.avg("token_len").alias("avgdl")
-    ).collect()[0]
-    n_docs = int(g["n"] or 0)
-    avgdl = float(g["avgdl"] or 0.0)
-
     return Index(
         postings=postings,
         doc_stats=doc_stats,
         term_stats=term_stats,
-        n_docs=n_docs,
-        avgdl=avgdl,
         config=config,
     )
 

@@ -231,6 +231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # block kernel — values must equal the flat/SQL AND semantics
     q["ft_block_and2"] = _ft_block_and2
 
+    # batched multi-query execution: the whole query set as ONE job
+    # (broadcast query-terms join + window top-k per query)
+    q["ft_batch_topk"] = _ft_batch_topk
+
     # --- embedding similarity ---
     q["sim_cosine_topk"] = _sim_cosine_topk
     q["sim_neardup"] = lambda s, d: neardup_pairs(
@@ -271,6 +275,50 @@ def _ft_block_and2(spark, sf) -> DataFrame:
         _BLOCK_CACHE[sf] = blocked_from_index(get_index(spark, sf), doc_block_bits=6)
     eng = BlockSearchEngine(_BLOCK_CACHE[sf])
     return eng.search_and(["data", "query"]).select("doc_id").orderBy("doc_id")
+
+
+# The batch fixture: a small reference query set ([qid, terms, k,
+# offset]); the Spark side runs them as ONE job via search_batch, the
+# oracle as a UNION ALL of per-query ranked SQL.
+BATCH_QUERIES: list[tuple[str, list[str], int, int]] = [
+    ("b_and2", ["data", "query"], 10, 0),
+    ("b_and3", ["join", "filter", "sort"], 10, 0),
+    ("b_hot", ["batch"], 5, 2),
+    ("b_all", ["group", "order"], 0, 0),
+    ("b_missing", ["data", "zzzqx"], 10, 0),
+]
+
+
+def _ft_batch_topk(spark, sf) -> DataFrame:
+    eng = _engine(spark, sf)
+    reqs = {
+        qid: SearchRequest(tokens=terms, max_outputs=k, offset=off)
+        for qid, terms, k, off in BATCH_QUERIES
+    }
+    res = eng.search_batch(reqs, double_scores=True)
+    return res.select(
+        "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _bm25_rank_sql(qid: str, terms: list[str], k: int, offset: int) -> str:
+    n_kw = len(set(terms))
+    kcap = k if k else 10**9
+    return f"""
+SELECT '{qid}' AS query_id, doc_id, score, rank FROM (
+  SELECT doc_id, round(s, 4) AS score,
+         row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT tf.doc_id AS doc_id,
+           sum(log2(st.n/df.df + 1) * tf.tf*(2.0+1.0)
+               / (tf.tf + 2.0*(1.0-0.75+0.75*dl.dl/st.avgdl))) AS s,
+           count(*) AS nm
+    FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+    WHERE tf.term IN ({_sql_terms(sorted(set(terms)))})
+    GROUP BY tf.doc_id
+  ) WHERE nm = {n_kw}
+) WHERE rank > {offset} AND rank <= {offset} + {kcap}
+"""
 
 
 def _sim_cosine_topk(spark, sf) -> DataFrame:
@@ -433,6 +481,10 @@ FROM bits GROUP BY doc_id
 WITH {_TOKS_CTE}
 SELECT doc_id FROM tf WHERE term IN ('data','query')
 GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id
+"""
+    o["ft_batch_topk"] = f"""
+WITH {_TOKS_CTE}
+{" UNION ALL ".join(_bm25_rank_sql(qid, terms, k, off) for qid, terms, k, off in BATCH_QUERIES)}
 """
     o["dd_simhash_neardup"] = f"""
 WITH w AS (SELECT DISTINCT doc_id, unnest(list_distinct({_WORDS_SQL})) AS word

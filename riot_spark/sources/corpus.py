@@ -89,7 +89,9 @@ def _render_html(title: str, text: str) -> bytes:
 _ZH_SNIPPETS = ["有七十亿人口", "世界 你好", "人口 众多"]
 
 
-def generate_pages(spark: SparkSession, n_docs: int) -> DataFrame:
+def generate_pages(
+    spark: SparkSession, n_docs: int, n_parts: int | None = None
+) -> DataFrame:
     """Deterministic synthetic Common-Crawl-style pages (FIXTURES.md §1).
 
     Distributed generation: ``spark.range`` provides ids; a vectorized
@@ -125,7 +127,8 @@ def generate_pages(spark: SparkSession, n_docs: int) -> DataFrame:
                 }
             )
 
-    n_parts = max(1, min(256, n_docs // 2000 + 1))
+    if n_parts is None:
+        n_parts = max(1, min(256, n_docs // 2000 + 1))
     return spark.range(0, n_docs, numPartitions=n_parts).mapInPandas(
         gen, schema=PAGES_SCHEMA
     )

@@ -243,3 +243,41 @@ def test_freq_index_mode(spark):
         ).collect()
         assert len(res) == 1 and res[0]["doc_id"] == 1, scorer
         assert int(res[0]["score"] * 10000) == 76055, scorer
+
+
+def test_search_batch_matches_per_query(spark):
+    """search_batch (one job, window top-k) must agree with per-query
+    search() on docs, scores, and order for every batchable request."""
+    from riot_spark.sources.corpus import load_documents
+    from riot_spark.build import build_index
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE)
+    idx = build_index(docs, EngineConfig(index_type=FREQUENCIES_INDEX,
+                                         num_index_partitions=8))
+    eng = SearchEngine(idx)
+    reqs = {
+        "q1": SearchRequest(text="data query", max_outputs=10),
+        "q2": SearchRequest(text="batch", max_outputs=5, offset=3),
+        "q3": SearchRequest(text="data zzzqx", max_outputs=10),  # missing
+        "q4": SearchRequest(text="group order"),  # unlimited
+    }
+    batch = eng.search_batch(reqs).collect()
+    by_qid: dict[str, list] = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    assert "q3" not in by_qid  # missing term => no rows
+    for qid, req in reqs.items():
+        if qid == "q3":
+            continue
+        single = eng.search(req).collect()
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in single], qid
+        np.testing.assert_allclose(
+            [r["score"] for r in got], [r["score"] for r in single],
+            rtol=1e-5, atol=1e-6,
+        )
+        # ranks are the global positions of the slice
+        assert [r["rank"] for r in got] == list(
+            range(req.offset + 1, req.offset + 1 + len(got))
+        ), qid

@@ -1,14 +1,24 @@
-"""Scaling-efficiency evidence (north rule: >=0.8 from N to 4N).
+"""Scaling-efficiency evidence (north rule: >=0.8 from N to 4N executors).
 
 No real cluster exists in this sandbox, so per the driver instruction
-the same index-build job runs at two parallelism levels (local[N] vs
-local[4N]) on the same input; efficiency = (T_N / T_4N) / 4.
+the same index-build job runs at two parallelism levels on the same
+input.  Parallelism here means *executors*: Spark's `local-cluster`
+master launches genuinely separate executor JVMs (own heap, own GC,
+own shuffle files) on this machine, so N -> 4N executors is measured
+the same way it would be on a real cluster — identical job, identical
+partitioning (the partition counts belong to the dataset, not the
+cluster), only the executor count changes.
 
-Each level runs in its own JVM (subprocess); the build runs
-`warm + repeats` times and the best warm time is taken so JIT noise
-doesn't pollute the ratio.  Results are appended to BENCH.md.
+Each level runs in its own driver process; the build runs
+`1 warm-up + 2` times and the best warm time is taken so JIT
+noise doesn't pollute the ratio.  Results are appended to BENCH.md.
 
-Usage: python tools/bench_scaling.py [n_docs] [N] [--pairs 2,8 8,32]
+Caveat (stated in BENCH.md too): all executors share one machine's
+memory bus and disks, so large-core runs under-report what a real 4N
+cluster (4x bandwidth) would deliver; the efficiency numbers are a
+lower bound in that respect.
+
+Usage: python tools/bench_scaling.py [n_docs] [--pairs 2,8] [--cores-per-exec 4]
 """
 
 from __future__ import annotations
@@ -21,73 +31,97 @@ import sys
 WORKER = r"""
 import json, sys, time
 sys.path.insert(0, "@REPO@")
-from riot_spark.session import get_spark
+from pyspark.sql import SparkSession
 from riot_spark.sources.corpus import generate_pages
 from riot_spark.build import build_index
 from riot_spark.config import EngineConfig, FREQUENCIES_INDEX
 
-cores = int(sys.argv[1]); n_docs = int(sys.argv[2])
-spark = get_spark("scaling", cores=cores, shuffle_partitions=cores)
+n_exec = int(sys.argv[1]); cpe = int(sys.argv[2])
+n_docs = int(sys.argv[3]); parts = int(sys.argv[4])
+spark = (
+    SparkSession.builder.appName("scaling")
+    .master(f"local-cluster[{n_exec},{cpe},3072]")
+    .config("spark.executorEnv.PYTHONPATH", "@REPO@")
+    .config("spark.sql.shuffle.partitions", str(parts))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
 spark.sparkContext.setLogLevel("ERROR")
-pages = generate_pages(spark, n_docs).selectExpr(
+pages = generate_pages(spark, n_docs, n_parts=parts).selectExpr(
     "cast(conv(substr(md5(url),1,15),16,10) as long) AS doc_id", "text").cache()
 pages.count()
-cfg = EngineConfig(index_type=FREQUENCIES_INDEX, num_index_partitions=cores)
+cfg = EngineConfig(index_type=FREQUENCIES_INDEX, num_index_partitions=parts)
 best = None; entries = 0
-for trial in range(4):  # trial 0 = JIT warm-up, discarded
+for trial in range(3):  # trial 0 = JIT warm-up, discarded
     t0 = time.perf_counter()
     idx = build_index(pages, cfg, cache=False)
     entries = idx.postings.count()
     dt = time.perf_counter() - t0
     if trial > 0 and (best is None or dt < best):
         best = dt
-print(json.dumps({"cores": cores, "time_s": best, "entries": entries,
-                  "n_docs": n_docs}))
+print(json.dumps({"executors": n_exec, "cores_per_exec": cpe,
+                  "time_s": best, "entries": entries, "n_docs": n_docs}))
 """
 
 
-def run_level(repo: str, cores: int, n_docs: int) -> dict:
+def run_level(repo: str, n_exec: int, cpe: int, n_docs: int, parts: int) -> dict:
     code = WORKER.replace("@REPO@", repo)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(n_docs)],
-        capture_output=True, text=True, timeout=1200,
+        [sys.executable, "-c", code, str(n_exec), str(cpe), str(n_docs), str(parts)],
+        capture_output=True, text=True, timeout=1800,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+        raise RuntimeError(f"worker failed at {n_exec} executors")
+    return json.loads(lines[-1])
 
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    pairs = [(8, 32)]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(args[0]) if args else 200_000
+    cpe = 4
+    if "--cores-per-exec" in sys.argv:
+        cpe = int(sys.argv[sys.argv.index("--cores-per-exec") + 1])
+    pairs = [(2, 8)]
     if "--pairs" in sys.argv:
         i = sys.argv.index("--pairs")
-        pairs = [tuple(map(int, p.split(","))) for p in sys.argv[i + 1 :]]
-    results = {}
+        pairs = [tuple(map(int, p.split(","))) for p in sys.argv[i + 1:]
+                 if not p.startswith("--")]
+    parts = 2 * cpe * max(max(p) for p in pairs)  # fixed across levels
+    results: dict[int, dict] = {}
     lines = []
     for n, n4 in pairs:
-        for cores in (n, n4):
-            if cores not in results:
-                results[cores] = run_level(repo, cores, n_docs)
-                r = results[cores]
+        for n_exec in (n, n4):
+            if n_exec not in results:
+                results[n_exec] = run_level(repo, n_exec, cpe, n_docs, parts)
+                r = results[n_exec]
                 print(
-                    f"local[{cores}]: {r['time_s']:.2f}s, "
+                    f"{n_exec} executors x {cpe} cores: {r['time_s']:.2f}s, "
                     f"{r['entries']/r['time_s']:,.0f} entries/s", flush=True
                 )
         tn, t4 = results[n]["time_s"], results[n4]["time_s"]
         eff = (tn / t4) / (n4 / n)
         ent = results[n]["entries"]
         lines.append(
-            f"| {n_docs} docs / {ent} entries | local[{n}] {tn:.2f}s "
-            f"({ent/tn:,.0f} e/s) | local[{n4}] {t4:.2f}s ({ent/t4:,.0f} e/s) "
+            f"| {n_docs} docs / {ent} entries | {n} exec x{cpe} {tn:.2f}s "
+            f"({ent/tn:,.0f} e/s) | {n4} exec x{cpe} {t4:.2f}s ({ent/t4:,.0f} e/s) "
             f"| {tn/t4:.2f}x | **{eff:.2f}** |"
         )
-        print(f"N={n} -> 4N={n4}: speedup {tn/t4:.2f}x, efficiency {eff:.2f}")
+        print(f"N={n} -> 4N={n4} executors: speedup {tn/t4:.2f}x, "
+              f"efficiency {eff:.2f}")
     header = (
-        "\n## Scaling evidence (same job, two parallelism levels)\n\n"
-        "Identical index build (synthetic Common-Crawl-style pages, "
-        "FrequenciesIndex) per JVM, best warm run of 3 after a discarded "
-        "JIT warm-up; efficiency = speedup / (core ratio).\n\n"
+        "\n## Scaling evidence (same job, N vs 4N executors)\n\n"
+        "Identical one-shuffle index build (synthetic Common-Crawl-style "
+        "pages, FrequenciesIndex), identical partitioning at both levels; "
+        "`local-cluster` master = real separate executor JVMs on this "
+        "machine; best warm run of 3 after a discarded JIT warm-up; "
+        "efficiency = speedup / (executor ratio). All executors share one "
+        "machine's memory bus + disks, so this under-reports a real 4N "
+        "cluster; treat as a lower bound.\n\n"
         "| input | T_N | T_4N | speedup | efficiency |\n|---|---|---|---|---|\n"
     )
     with open(os.path.join(repo, "BENCH.md"), "a") as f:

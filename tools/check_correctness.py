@@ -4,7 +4,7 @@ Runs every queries() entry on Spark and its oracle_sql() twin on
 DuckDB over the same parquet, compares row count + column names +
 order-insensitive values. Usage:
 
-    python tools/check_correctness.py [sf_dir]
+    python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import __spark_entry__ as e
 
     spark = get_spark("correctness", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
@@ -48,6 +48,8 @@ def main(sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = e.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -91,4 +93,7 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    args = sys.argv[1:]
+    sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = [a for a in args if not os.path.isdir(a)]
+    sys.exit(main(sf, names or None))
