@@ -90,6 +90,21 @@ def main() -> None:
     p50 = lat[len(lat) // 2]
     p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
 
+    # batched execution: the whole query set as ONE DataFrame program —
+    # the engine's QPS story (riot fans each query to every shard;
+    # we amortize one postings pass across all queries)
+    batch_reqs = {
+        f"b{i}": SearchRequest(tokens=[terms[i], terms[i + 1]], max_outputs=100)
+        for i in range(len(terms) - 1)
+    }
+
+    def run_batch():
+        eng.search_batch(batch_reqs).collect()
+
+    t_batch = timed(run_batch)
+    queries["batch_11q"] = t_batch
+    batch_qps = len(batch_reqs) / t_batch
+
     # -------- web-scale-shape build: synthetic Common-Crawl-style pages.
     # The sf corpus is tiny (fixed overhead dominates); this measures
     # sustained posting-entries/s on a corpus big enough to matter.
@@ -131,6 +146,7 @@ def main() -> None:
         "build_entries_per_sec": round(n_entries / t_build, 1),
         "query_p50_s": round(p50, 4),
         "query_p95_s": round(p95, 4),
+        "batch_queries_per_sec": round(batch_qps, 2),
         "pages_build_entries_per_sec": pages_entries_per_sec,
         "cpus": cpus,
     }

@@ -60,11 +60,17 @@ class Index:
         n_docs: int | None = None,
         avgdl: float | None = None,
         observation: Observation | None = None,
+        has_labels: bool = False,
     ):
         self.postings = postings
         self.doc_stats = doc_stats
         self.term_stats = term_stats
         self.config = config
+        # When False, postings are guaranteed one-row-per-(term, doc)
+        # and intersection can count rows instead of distinct terms —
+        # count(*) stays on the fast hash-agg path, countDistinct
+        # expands every input row per aggregate (Expand node).
+        self.has_labels = has_labels
         self._n_docs = n_docs
         self._avgdl = avgdl
         self._obs = observation
@@ -293,6 +299,7 @@ def build_index_from_tokens(
         doc_stats=doc_stats,
         term_stats=term_stats,
         config=config,
+        has_labels=labels is not None,
     )
 
 

@@ -39,6 +39,7 @@ def remove_docs(index: Index, doc_ids: list[int]) -> Index:
         n_docs=int(g["n"] or 0),
         avgdl=float(g["avgdl"] or 0.0),
         config=index.config,
+        has_labels=index.has_labels,
     )
 
 

@@ -235,6 +235,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (broadcast query-terms join + window top-k per query)
     q["ft_batch_topk"] = _ft_batch_topk
 
+    # token proximity (Q5, core/indexer.go:723-813): 2-term DP =
+    # min over position pairs |p2 - p1 - bytelen(t1)| — SQL-expressible
+    q["ft_proximity2"] = _ft_proximity2
+
+    # riot-compat Using=4 tokenizer (T4 prefix-concat quirk,
+    # segment.go:40-77): numTokens bookkeeping per doc
+    q["compat_using4_len"] = _compat_using4_len
+
+    # multimodal plumbing: binary payload + typed meta, fake decode
+    q["mm_image_features"] = _mm_image_features
+    q["mm_frame_plan"] = _mm_frame_plan
+
     # --- embedding similarity ---
     q["sim_cosine_topk"] = _sim_cosine_topk
     q["sim_neardup"] = lambda s, d: neardup_pairs(
@@ -319,6 +331,57 @@ SELECT '{qid}' AS query_id, doc_id, score, rank FROM (
   ) WHERE nm = {n_kw}
 ) WHERE rank > {offset} AND rank <= {offset} + {kcap}
 """
+
+
+def _ft_proximity2(spark, sf) -> DataFrame:
+    """(doc_id, proximity) for the AND query [data, query] under
+    LocsIndex — proximity from the float32 Arrow kernel (the DP of
+    core/indexer.go:723-813; for two tokens it reduces to
+    min |p2 - p1 - bytelen(t1)| over occurrence pairs)."""
+    eng = _engine(spark, sf)
+    res = eng.search(SearchRequest(tokens=["data", "query"], scorer="float32"))
+    return res.select("doc_id", "proximity").orderBy("doc_id")
+
+
+def _compat_using4_len(spark, sf) -> DataFrame:
+    from riot_spark.compat import tokenize_compat
+
+    toks = tokenize_compat(load_documents(spark, sf), using=4)
+    return toks.groupBy("doc_id").agg(
+        F.first("token_len").cast("long").alias("num_tokens")
+    )
+
+
+def _mm_media(spark, sf) -> DataFrame:
+    """Deterministic media fixture derived from documents: payload =
+    UTF-8 bytes of text, 8x8 'image', duration keyed off doc_id."""
+    return load_documents(spark, sf).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/fake").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            ((F.col("doc_id") % 10 + 1) * 1000).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def _mm_image_features(spark, sf) -> DataFrame:
+    """Fake-decode feature extraction. The md5-tiled 8x8x3 fake decode
+    makes every channel mean equal sum(md5 bytes)/16 — a dyadic
+    rational, so double equality against the SQL oracle is exact."""
+    from riot_spark.multimodal import image_features
+
+    return image_features(_mm_media(spark, sf), fake=True)
+
+
+def _mm_frame_plan(spark, sf) -> DataFrame:
+    from riot_spark.multimodal import sample_frames
+
+    return sample_frames(_mm_media(spark, sf), every_ms=1000)
 
 
 def _sim_cosine_topk(spark, sf) -> DataFrame:
@@ -485,6 +548,53 @@ GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id
     o["ft_batch_topk"] = f"""
 WITH {_TOKS_CTE}
 {" UNION ALL ".join(_bm25_rank_sql(qid, terms, k, off) for qid, terms, k, off in BATCH_QUERIES)}
+"""
+    # byte offset of word i = sum of (bytelen + 1 space) of all prior
+    # split segments, INCLUDING empty segments (1 byte each) — matches
+    # tokenize_text's position accounting exactly.
+    o["ft_proximity2"] = """
+WITH seg AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS w,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS i
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w,
+         sum(octet_length(encode(w)) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - (octet_length(encode(w)) + 1) AS p
+  FROM seg
+),
+pa AS (SELECT doc_id, p FROM pos WHERE w = 'data'),
+pb AS (SELECT doc_id, p FROM pos WHERE w = 'query')
+SELECT pa.doc_id AS doc_id,
+       min(abs(pb.p - pa.p - octet_length(encode('data'))))::INT AS proximity
+FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+GROUP BY pa.doc_id ORDER BY doc_id
+"""
+    o["compat_using4_len"] = f"""
+SELECT doc_id,
+       (2 * len(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')))::BIGINT AS num_tokens
+FROM documents
+"""
+    # fake decode = md5(payload) bytes tiled over 8x8x3: every channel
+    # mean collapses to sum(md5 bytes)/16 (dyadic => exact doubles)
+    o["mm_image_features"] = """
+WITH b AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 2*j + 1, 2))::INT AS v
+  FROM documents, (SELECT unnest(range(0, 16)) AS j)
+)
+SELECT doc_id AS media_id,
+       avg(v) AS mean_r, avg(v) AS mean_g, avg(v) AS mean_b,
+       avg(v) AS brightness
+FROM b GROUP BY doc_id
+"""
+    o["mm_frame_plan"] = """
+SELECT doc_id AS media_id, f::INT AS frame_idx, (f * 1000)::INT AS ts_ms
+FROM (SELECT doc_id, unnest(range(0, doc_id % 10 + 1)) AS f FROM documents)
 """
     o["dd_simhash_neardup"] = f"""
 WITH w AS (SELECT DISTINCT doc_id, unnest(list_distinct({_WORDS_SQL})) AS word

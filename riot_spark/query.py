@@ -110,6 +110,16 @@ class SearchEngine:
     def _spark(self):
         return self.index.postings.sparkSession
 
+    def _n_match(self):
+        """Intersection cardinality aggregate.  Label-free indexes
+        guarantee one posting row per (term, doc): count(*) suffices
+        and avoids countDistinct's Expand-node row blowup."""
+        return (
+            F.countDistinct("term")
+            if getattr(self.index, "has_labels", True)
+            else F.count("*")
+        )
+
     def _empty(self) -> DataFrame:
         return self._spark().createDataFrame([], RESULT_SCHEMA)
 
@@ -170,7 +180,7 @@ class SearchEngine:
         out = (
             matched.groupBy("doc_id")
             .agg(
-                F.countDistinct("term").alias("n_match"),
+                self._n_match().alias("n_match"),
                 F.sum(contrib).alias("score_d"),
                 unscorable.alias("unscorable"),
             )
@@ -277,7 +287,7 @@ class SearchEngine:
             cand = (
                 self._matched(req.must, req.doc_ids)
                 .groupBy("doc_id")
-                .agg(F.countDistinct("term").alias("nm"))
+                .agg(self._n_match().alias("nm"))
                 .where(F.col("nm") == len(set(req.must)))
                 .select("doc_id")
             )
@@ -338,7 +348,7 @@ class SearchEngine:
             elif req.orderless:
                 return (
                     matched.groupBy("doc_id")
-                    .agg(F.countDistinct("term").alias("nm"))
+                    .agg(self._n_match().alias("nm"))
                     .where(F.col("nm") == n_kw)
                     .select("doc_id")
                 )
@@ -489,7 +499,7 @@ class SearchEngine:
                 scored = (
                     matched.groupBy("query_id", "doc_id")
                     .agg(
-                        F.countDistinct("term").alias("n_match"),
+                        self._n_match().alias("n_match"),
                         F.first("n_kw").alias("n_kw"),
                         F.first("k").alias("k"),
                         F.first("qoffset").alias("qoffset"),

@@ -38,10 +38,15 @@ from riot_spark.config import EngineConfig, FREQUENCIES_INDEX
 
 n_exec = int(sys.argv[1]); cpe = int(sys.argv[2])
 n_docs = int(sys.argv[3]); parts = int(sys.argv[4])
+mode = sys.argv[5] if len(sys.argv) > 5 else "freq"
 spark = (
     SparkSession.builder.appName("scaling")
-    .master(f"local-cluster[{n_exec},{cpe},3072]")
+    .master(f"local-cluster[{n_exec},{cpe},6144]")
     .config("spark.executorEnv.PYTHONPATH", "@REPO@")
+    # One shared spinning disk would serialize all executors' shuffle
+    # I/O — a sandbox artifact (real cluster nodes each have local
+    # disks).  tmpfs shuffle dirs model per-node disk correctly.
+    .config("spark.local.dir", "/dev/shm/spark-local")
     .config("spark.sql.shuffle.partitions", str(parts))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -52,7 +57,10 @@ spark.sparkContext.setLogLevel("ERROR")
 pages = generate_pages(spark, n_docs, n_parts=parts).selectExpr(
     "cast(conv(substr(md5(url),1,15),16,10) as long) AS doc_id", "text").cache()
 pages.count()
-cfg = EngineConfig(index_type=FREQUENCIES_INDEX, num_index_partitions=parts)
+from riot_spark.config import LOCS_INDEX
+cfg = EngineConfig(
+    index_type=LOCS_INDEX if mode == "locs" else FREQUENCIES_INDEX,
+    num_index_partitions=parts)
 best = None; entries = 0
 for trial in range(3):  # trial 0 = JIT warm-up, discarded
     t0 = time.perf_counter()
@@ -66,10 +74,12 @@ print(json.dumps({"executors": n_exec, "cores_per_exec": cpe,
 """
 
 
-def run_level(repo: str, n_exec: int, cpe: int, n_docs: int, parts: int) -> dict:
+def run_level(repo: str, n_exec: int, cpe: int, n_docs: int, parts: int,
+              mode: str = "freq") -> dict:
     code = WORKER.replace("@REPO@", repo)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(n_exec), str(cpe), str(n_docs), str(parts)],
+        [sys.executable, "-c", code, str(n_exec), str(cpe), str(n_docs),
+         str(parts), mode],
         capture_output=True, text=True, timeout=1800,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -91,13 +101,14 @@ def main() -> None:
         i = sys.argv.index("--pairs")
         pairs = [tuple(map(int, p.split(","))) for p in sys.argv[i + 1:]
                  if not p.startswith("--")]
+    mode = "locs" if "--locs" in sys.argv else "freq"
     parts = 2 * cpe * max(max(p) for p in pairs)  # fixed across levels
     results: dict[int, dict] = {}
     lines = []
     for n, n4 in pairs:
         for n_exec in (n, n4):
             if n_exec not in results:
-                results[n_exec] = run_level(repo, n_exec, cpe, n_docs, parts)
+                results[n_exec] = run_level(repo, n_exec, cpe, n_docs, parts, mode)
                 r = results[n_exec]
                 print(
                     f"{n_exec} executors x {cpe} cores: {r['time_s']:.2f}s, "
@@ -107,7 +118,7 @@ def main() -> None:
         eff = (tn / t4) / (n4 / n)
         ent = results[n]["entries"]
         lines.append(
-            f"| {n_docs} docs / {ent} entries | {n} exec x{cpe} {tn:.2f}s "
+            f"| {mode} {n_docs} docs / {ent} entries | {n} exec x{cpe} {tn:.2f}s "
             f"({ent/tn:,.0f} e/s) | {n4} exec x{cpe} {t4:.2f}s ({ent/t4:,.0f} e/s) "
             f"| {tn/t4:.2f}x | **{eff:.2f}** |"
         )
