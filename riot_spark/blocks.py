@@ -108,8 +108,11 @@ def build_blocks(index: Index, doc_block_bits: int = 13) -> DataFrame:
                 buf.append(pdf)
             if not buf:
                 return None
-            all_df = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            all_df["block_id"] = all_df["doc_id"].to_numpy(np.int64) >> doc_block_bits
+            all_df = (
+                pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            ).assign(
+                block_id=lambda d: d["doc_id"].to_numpy(np.int64) >> doc_block_bits
+            )
             if not final:
                 # hold back the stream-tail group — it may continue in
                 # the next Arrow batch (rows arrive (term, doc_id)-sorted)
@@ -233,11 +236,105 @@ class BlockSearchEngine:
             return pd.DataFrame({"doc_id": cur.astype("int64"), "score": scores})
 
         matched = bi.blocks.where(F.col("term").isin(tok_list))
+        if k:
+            wand = self._wand_topk(matched, kernel, tok_list, df_list, k)
+            if wand is not None:
+                return wand
         scored = matched.groupBy("block_id").applyInPandas(
             kernel, "doc_id LONG, score FLOAT"
         )
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k else out
+
+    def _wand_topk(
+        self,
+        matched: DataFrame,
+        kernel,
+        tok_list: list[str],
+        df_list: list[int],
+        k: int,
+    ) -> DataFrame | None:
+        """Block-max WAND, batch-shaped.
+
+        Phase 1 reads ONLY block metadata (no posting bytes decoded):
+        each doc-range group's score upper bound is
+        Σ_t idf_t * norm_max_t, and groups missing a query term are
+        dropped outright (AND prune).  Phase 2 runs the decode kernel
+        over bound-descending chunks of groups, keeping a running
+        top-k; it stops as soon as the kth best actual score strictly
+        exceeds the best unprocessed group's bound — no later group
+        can contribute (scores inside a group never exceed its bound).
+        Exact, differential-tested against the unpruned kernel.
+
+        At web scale the bounds table is a DataFrame and the chunking
+        a bound-ordered iterator; here the per-query group list
+        (|groups| <= n_docs / 2^doc_block_bits) fits on the driver.
+        Returns None to fall back to the unpruned path (k >= corpus
+        or metadata inconclusive).
+        """
+        import math as _m
+
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        n_terms = len(set(tok_list))
+        idf = {
+            t: _m.log2(bi.n_docs / df + 1.0)
+            for t, df in zip(tok_list, df_list)
+        }
+        idf_col = F.lit(0.0)
+        for t, v in idf.items():
+            idf_col = F.when(F.col("term") == t, F.lit(v)).otherwise(idf_col)
+        meta = (
+            matched.groupBy("block_id")
+            .agg(
+                F.count("*").alias("nt"),
+                F.sum(idf_col * F.col("norm_max")).alias("bound"),
+                F.min("n").alias("cap"),
+            )
+            .where(F.col("nt") == n_terms)
+            .select("block_id", "bound", "cap")
+            .collect()
+        )
+        out_schema = "doc_id LONG, score FLOAT"
+        if not meta:
+            return spark.createDataFrame([], out_schema)
+        groups = sorted(meta, key=lambda r: -r["bound"])
+        if len(groups) <= 2:
+            return None  # nothing to prune — single-pass is cheaper
+        best: list[tuple[float, int]] = []  # (-score, doc_id) sorted asc
+        i = 0
+        grow = 1
+        while i < len(groups):
+            # chunk: enough capacity to plausibly fill k; geometric
+            # growth caps the number of refinement jobs at O(log)
+            cap = 0
+            j = i
+            while j < len(groups) and (cap < k * grow or j == i):
+                cap += int(groups[j]["cap"])
+                j += 1
+            grow *= 4
+            chunk_ids = [g["block_id"] for g in groups[i:j]]
+            rows = (
+                matched.where(F.col("block_id").isin(chunk_ids))
+                .groupBy("block_id")
+                .applyInPandas(kernel, out_schema)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            best.extend((-float(r["score"]), int(r["doc_id"])) for r in rows)
+            best.sort()
+            best = best[:k]
+            i = j
+            if (
+                len(best) >= k
+                and i < len(groups)
+                and -best[k - 1][0] > float(groups[i]["bound"])
+            ):
+                break  # kth result strictly beats every remaining bound
+        return spark.createDataFrame(
+            [(doc_id, -negs) for negs, doc_id in best], out_schema
+        )
 
 
 # ------------------------------------------------------- persistence

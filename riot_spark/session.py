@@ -34,6 +34,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[32] in one JVM: allocation-heavy string tokenization at
+        # 32 threads makes G1 pause-bound and bimodal (measured 3.3s vs
+        # 11.6s on identical builds); generational ZGC stays concurrent
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseZGC -XX:+ZGenerational"),
+        )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
     )

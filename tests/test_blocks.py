@@ -118,3 +118,27 @@ def test_deterministic_rebuild(spark, sf_index):
         for r in b2.blocks.collect()
     )
     assert rows1 == rows2
+
+
+@pytest.mark.parametrize("toks,k", [
+    (["data", "query"], 5),
+    (["data"], 10),       # hot single term, many blocks
+    (["join", "filter"], 3),
+    (["data", "zzznope"], 5),
+])
+def test_wand_topk_exact(bindex, toks, k):
+    """The block-max WAND pruned path must return exactly the unpruned
+    top-k (same docs, scores, order)."""
+    eng = BlockSearchEngine(bindex)
+    pruned = eng.search_and(toks, k=k).collect()
+    full = (
+        eng.search_and(toks, k=0)
+        .orderBy("score", ascending=False)
+        .collect()
+    )
+    full = sorted(full, key=lambda r: (-r["score"], r["doc_id"]))[:k]
+    assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in full]
+    np.testing.assert_array_equal(
+        np.array([r["score"] for r in pruned], dtype=np.float32),
+        np.array([r["score"] for r in full], dtype=np.float32),
+    )

@@ -47,6 +47,8 @@ spark = (
     # I/O — a sandbox artifact (real cluster nodes each have local
     # disks).  tmpfs shuffle dirs model per-node disk correctly.
     .config("spark.local.dir", "/dev/shm/spark-local")
+    # zstd shuffle: trade spare CPU for scarce memory/disk bandwidth
+    .config("spark.io.compression.codec", "zstd")
     .config("spark.sql.shuffle.partitions", str(parts))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
