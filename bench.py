@@ -121,14 +121,19 @@ def main() -> None:
             .cache()
         )
         pages.count()
-        t0 = time.perf_counter()
-        pidx = build_index(
-            pages,
-            EngineConfig(index_type=FREQUENCIES_INDEX, num_index_partitions=cpus),
-            cache=False,
-        )
-        pn = pidx.postings.count()
-        t_pages = time.perf_counter() - t0
+        t_pages = None
+        for _ in range(2):  # best-of-2: GC/JIT noise at 32 threads
+            t0 = time.perf_counter()
+            pidx = build_index(
+                pages,
+                EngineConfig(
+                    index_type=FREQUENCIES_INDEX, num_index_partitions=cpus
+                ),
+                cache=False,
+            )
+            pn = pidx.postings.count()
+            dt = time.perf_counter() - t0
+            t_pages = dt if t_pages is None else min(t_pages, dt)
         queries["build_pages_50k"] = t_pages
         pages_entries_per_sec = round(pn / t_pages, 1)
         pages.unpersist()

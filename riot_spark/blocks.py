@@ -72,10 +72,17 @@ def _norm_term(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float
 
 
 def build_blocks(index: Index, doc_block_bits: int = 13) -> DataFrame:
-    """Pack the (already term-partitioned, (term, doc_id)-sorted) flat
-    postings into blocks.  Pure mapInPandas — zero shuffles: hash
-    partitioning guarantees a term never spans partitions, and the
-    packer re-groups rows across Arrow batch boundaries."""
+    """Pack the (already (term, salt)-partitioned, (term, doc_id)-
+    sorted) flat postings into blocks.  Pure mapInPandas — zero
+    shuffles: salting is doc-range-aligned (salt_block_bits >=
+    doc_block_bits), so a (term, block) group never straddles
+    partitions, and the packer re-groups rows across Arrow batch
+    boundaries."""
+    if getattr(index.config, "build_salts", 1) > 1:
+        assert doc_block_bits <= index.config.salt_block_bits, (
+            "block granularity must be at least as coarse-grained as the "
+            "build salt ranges or a block would straddle partitions"
+        )
     k1, b = index.config.bm25.k1, index.config.bm25.b
     avgdl = index.avgdl
 

@@ -175,12 +175,25 @@ def build_index(
             F.count(F.lit(1)).alias("n"),
             F.sum("token_len").alias("total_len"),
         )
+        # Salted shuffle key (north rule: hot-term skew): salt is a
+        # deterministic function of the doc RANGE, so (a) rows of one
+        # (term, doc) share a salt — including `salt` in both the
+        # repartition AND the grouping keys keeps the plan one-shuffle
+        # (HashPartitioning{term, salt} ⊆ grouping keys) — and (b) a
+        # packed doc-range block never straddles partitions.  A df≈N
+        # stopword spreads over `build_salts` reducers instead of one.
         raw = docs.select(
-            "doc_id", "token_len", F.explode("words").alias("term")
+            "doc_id",
+            "token_len",
+            F.explode("words").alias("term"),
+            F.pmod(
+                F.shiftright("doc_id", config.salt_block_bits),
+                F.lit(max(1, config.build_salts)),
+            ).alias("salt"),
         )
         postings = (
-            raw.repartition(config.num_index_partitions, "term")
-            .groupBy("term", "doc_id")
+            raw.repartition(config.num_index_partitions, "term", "salt")
+            .groupBy("term", "doc_id", "salt")
             .agg(
                 F.count("*").cast("float").alias("tf"),
                 F.max("token_len").cast("float").alias("token_len"),
@@ -272,16 +285,21 @@ def build_index_from_tokens(
         lab = labels.join(doc_stats, "doc_id")
         postings = postings.unionByName(lab.select(*postings.columns))
 
-    # Term-hash partitioning + (term, docId) sort within partitions:
-    # every term's postings land in exactly one partition (query-time
-    # pruning via parquet min/max on the sorted term column) and are
-    # docId-sorted for merge/intersection.  Hash, not range: range
-    # partitioning costs an extra full pass to sample bounds — measured
-    # 2x on the build — with no pruning benefit over hash + sort here.
-    # Hot-term salting (config.hot_term_df_ratio) splits skewed terms
-    # at the block-packing layer.
+    # (term, salt)-hash partitioning + (term, docId) sort within
+    # partitions: a term's postings land in at most `build_salts`
+    # partitions (hot-term skew defense; salt is doc-range-derived so
+    # packed blocks stay whole), docId-sorted for merge/intersection.
+    # Hash, not range: range partitioning costs an extra full pass to
+    # sample bounds — measured 2x on the build — with no pruning
+    # benefit over hash + sort here.
     if not already_partitioned:
-        postings = postings.repartition(config.num_index_partitions, "term")
+        salt = F.pmod(
+            F.shiftright("doc_id", config.salt_block_bits),
+            F.lit(max(1, config.build_salts)),
+        )
+        postings = postings.repartition(
+            config.num_index_partitions, F.col("term"), salt
+        )
     postings = postings.sortWithinPartitions("term", "doc_id")
 
     # df counts non-label postings only (labels don't contribute to BM25,

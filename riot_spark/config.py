@@ -50,9 +50,15 @@ class EngineConfig:
     # Max docs per packed posting block (controls block-max WAND
     # granularity and memory per decode).
     block_size: int = 4096
-    # Terms with df above this fraction of N get salted at build time to
-    # defuse hot-term skew in the groupBy(term) shuffle.
-    hot_term_df_ratio: float = 0.05
+    # Hot-term skew defense: the build shuffle key is (term, salt)
+    # where salt = pmod(doc_id >> salt_block_bits, build_salts), so a
+    # stopword-frequency term spreads over `build_salts` reducers
+    # instead of melting one.  Salting by doc RANGE (not doc hash)
+    # keeps every packed doc-range block whole inside one partition
+    # (requires salt_block_bits >= the packer's doc_block_bits).
+    # build_salts=1 disables salting (exact legacy layout).
+    build_salts: int = 8
+    salt_block_bits: int = 13
     stopwords: frozenset[str] = frozenset()
 
 

@@ -281,3 +281,50 @@ def test_search_batch_matches_per_query(spark):
         assert [r["rank"] for r in got] == list(
             range(req.offset + 1, req.offset + 1 + len(got))
         ), qid
+
+
+def test_hot_term_salting_spreads_partitions(spark):
+    """A df=N stopword-like term must land in ~build_salts partitions
+    (skew defense), and search results must be unaffected."""
+    from pyspark.sql import functions as F
+    from riot_spark.build import build_index
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("hot filler"), F.col("id").cast("string")).alias("text"),
+    )
+    cfg = EngineConfig(
+        index_type=FREQUENCIES_INDEX, num_index_partitions=16,
+        build_salts=4, salt_block_bits=10,  # 4000 docs / 1024 ≈ 4 ranges
+    )
+    idx = build_index(docs, cfg)
+    parts = (
+        idx.postings.where(F.col("term") == "hot")
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    assert len(parts) >= 3, f"hot term stuck in {len(parts)} partition(s)"
+    assert sum(r["count"] for r in parts) == 4000
+    # unsalted layout: exactly one partition
+    cfg1 = EngineConfig(
+        index_type=FREQUENCIES_INDEX, num_index_partitions=16, build_salts=1
+    )
+    idx1 = build_index(docs, cfg1)
+    parts1 = (
+        idx1.postings.where(F.col("term") == "hot")
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    assert len(parts1) == 1
+    # results identical across layouts
+    r_salted = SearchEngine(idx).search(
+        SearchRequest(text="hot", max_outputs=7)
+    ).collect()
+    r_plain = SearchEngine(idx1).search(
+        SearchRequest(text="hot", max_outputs=7)
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in r_salted] == [
+        (r["doc_id"], r["score"]) for r in r_plain
+    ]
