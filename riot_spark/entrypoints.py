@@ -258,6 +258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_embeddings(s, d).where(F.col("vec_id") < 200),
         threshold=0.35, num_planes=6,
     )
+    # IVF ANN: centroids are table rows (deterministic), assignment =
+    # argmax cosine, probe 2 of 8 lists, exact re-rank
+    q["sim_ivf_topk"] = _sim_ivf_topk
     return q
 
 
@@ -388,6 +391,17 @@ def _sim_cosine_topk(spark, sf) -> DataFrame:
     emb = load_embeddings(spark, sf)
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return cosine_topk(emb, qvec, k=10)
+
+
+IVF_CENTROID_IDS = [0, 7, 23, 41, 77, 113, 151, 199]
+
+
+def _sim_ivf_topk(spark, sf) -> DataFrame:
+    from riot_spark.operators.similarity import ivf_topk
+
+    emb = load_embeddings(spark, sf)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    return ivf_topk(emb, qvec, IVF_CENTROID_IDS, k=10, nprobe=2)
 
 
 # ------------------------------------------------------------- oracles
@@ -618,6 +632,40 @@ WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 p AS (SELECT vec_id, unnest(embedding)::DOUBLE AS a,
              unnest((SELECT qv FROM q))::DOUBLE AS b
       FROM embeddings)
+SELECT vec_id, cosine FROM (
+  SELECT vec_id, round(sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))), 4) AS cosine
+  FROM p GROUP BY vec_id
+) ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+    cids = ", ".join(str(c) for c in IVF_CENTROID_IDS)
+    o["sim_ivf_topk"] = f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+               WHERE vec_id IN ({cids})),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+ec AS (SELECT e.vec_id, c.cid,
+              unnest(e.embedding)::DOUBLE AS x, unnest(c.cvec)::DOUBLE AS y
+       FROM embeddings e CROSS JOIN cents c),
+ecs AS (SELECT vec_id, cid,
+               sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS cos
+        FROM ec GROUP BY vec_id, cid),
+ass AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cid ASC) AS rn
+          FROM ecs)
+        WHERE rn = 1),
+qc AS (SELECT cid FROM (
+         SELECT c.cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS cos
+         FROM (SELECT c.cid, unnest(c.cvec)::DOUBLE AS x,
+                      unnest((SELECT qv FROM q))::DOUBLE AS y
+               FROM cents c) c
+         GROUP BY c.cid)
+       ORDER BY cos DESC, cid ASC LIMIT 2),
+p AS (SELECT vec_id, unnest(embedding)::DOUBLE AS a,
+             unnest((SELECT qv FROM q))::DOUBLE AS b
+      FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM ass
+                       WHERE cid IN (SELECT cid FROM qc)))
 SELECT vec_id, cosine FROM (
   SELECT vec_id, round(sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))), 4) AS cosine
   FROM p GROUP BY vec_id

@@ -143,3 +143,63 @@ def lsh_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid) — coarse quantization: each vector joins its
+    max-cosine centroid (tie -> smallest cid).  The centroid set is
+    tiny and becomes literal expressions: assignment is one codegen'd
+    projection, no shuffle, no Python."""
+    structs = []
+    for cid, cvec in sorted(centroids.items()):
+        c = F.array(*[F.lit(float(v)) for v in cvec])
+        cn = math.sqrt(sum(float(v) ** 2 for v in cvec))
+        cos = _dot(F.col(vec_col), c) / (_norm(F.col(vec_col)) * F.lit(cn))
+        structs.append(
+            F.struct(cos.alias("cos"), F.lit(-cid).cast("long").alias("negcid"))
+        )
+    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+    return embeddings.select(
+        F.col(id_col).alias("id"), (-best["negcid"]).cast("long").alias("cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroid_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the `nprobe` centroids nearest the query, then
+    exact cosine top-k over only their assigned vectors.
+
+    Deterministic flavor: centroids ARE rows of the embedding table
+    (ids = centroid_ids), so both this and a SQL oracle derive the
+    identical structure.  At 10^12 vectors the assignment is a
+    build-time column (partition the table by cid); the probe filter
+    then prunes partitions before any distance math."""
+    cents = {
+        int(r[id_col]): [float(x) for x in r[vec_col]]
+        for r in embeddings.where(F.col(id_col).isin(centroid_ids)).collect()
+    }
+    qn = math.sqrt(sum(float(v) ** 2 for v in query_vec))
+
+    def qcos(cvec: list[float]) -> float:
+        cn = math.sqrt(sum(v * v for v in cvec))
+        return sum(a * b for a, b in zip(query_vec, cvec)) / (cn * qn)
+
+    probe = sorted(cents, key=lambda cid: (-qcos(cents[cid]), cid))[:nprobe]
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    cand = assigned.where(F.col("cid").isin(probe)).select("id")
+    pool = embeddings.join(
+        cand, embeddings[id_col] == cand["id"], "left_semi"
+    )
+    return cosine_topk(pool, query_vec, k, id_col, vec_col)

@@ -1,0 +1,48 @@
+"""Pages corpus contract (BASELINE.json input_hint / FIXTURES.md §1).
+
+The north-star per-row invariant: extract_text(html) must be
+byte-identical to the `text` column for every url, on both the
+distributed (pandas-UDF) path and the pure-Python function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from riot_spark.sources.corpus import (
+    extract_text,
+    generate_pages,
+    pages_to_documents,
+    with_extracted_text,
+)
+
+
+def test_extract_text_byte_identical(spark):
+    pages = generate_pages(spark, 400)
+    ext = with_extracted_text(pages)
+    bad = ext.where(F.col("text_extracted") != F.col("text")).count()
+    assert bad == 0
+    # spot-check the pure function against raw bytes, including the
+    # multi-byte zh slice (byte-level, not char-level, semantics)
+    rows = pages.where(F.col("lang") == "zh").limit(3).collect() + (
+        pages.limit(3).collect()
+    )
+    assert rows
+    for r in rows:
+        assert extract_text(bytes(r["html"])) == r["text"]
+
+
+def test_pages_schema_and_determinism(spark):
+    pages = generate_pages(spark, 100)
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    a = sorted((r["url"], r["text"]) for r in pages.collect())
+    b = sorted((r["url"], r["text"]) for r in generate_pages(spark, 100).collect())
+    assert a == b  # same seed => identical corpus
+
+
+def test_pages_to_documents_dense_ids(spark):
+    docs = pages_to_documents(generate_pages(spark, 50))
+    ids = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    assert ids == list(range(len(ids)))

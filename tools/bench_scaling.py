@@ -41,7 +41,7 @@ n_docs = int(sys.argv[3]); parts = int(sys.argv[4])
 mode = sys.argv[5] if len(sys.argv) > 5 else "freq"
 spark = (
     SparkSession.builder.appName("scaling")
-    .master(f"local-cluster[{n_exec},{cpe},6144]")
+    .master(f"local-cluster[{n_exec},{cpe},12288]")
     .config("spark.executorEnv.PYTHONPATH", "@REPO@")
     # One shared spinning disk would serialize all executors' shuffle
     # I/O — a sandbox artifact (real cluster nodes each have local
@@ -104,7 +104,9 @@ def main() -> None:
         pairs = [tuple(map(int, p.split(","))) for p in sys.argv[i + 1:]
                  if not p.startswith("--")]
     mode = "locs" if "--locs" in sys.argv else "freq"
-    parts = 2 * cpe * max(max(p) for p in pairs)  # fixed across levels
+    # partition count belongs to the DATASET, not the cluster size —
+    # fixed across levels and floored so tasks stay cache-friendly
+    parts = max(64, 2 * cpe * max(max(p) for p in pairs))
     results: dict[int, dict] = {}
     lines = []
     for n, n4 in pairs:
