@@ -239,6 +239,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # min over position pairs |p2 - p1 - bytelen(t1)| — SQL-expressible
     q["ft_proximity2"] = _ft_proximity2
 
+    # ReverseOrder (Q10, types/search_request.go RankOpts): ascending
+    # score sort with inverted doc_id tiebreak
+    q["ft_reverse_order"] = lambda s, d: _search(
+        s, d, SearchRequest(text="data query", max_outputs=10,
+                            reverse_order=True)
+    )
+
+    # ScoringCriteria hook (Q8): RankByTokenProximity — score becomes
+    # 1/(proximity+1) (riot test_utils.go criteria)
+    q["ft_criteria_proximity"] = _ft_criteria_proximity
+
+    # incremental indexing (B2/B4/B7 via Structured Streaming
+    # foreachBatch): two-batch build + compaction must converge to the
+    # same index state as a one-shot batch build — the oracle is the
+    # batch tokenization itself
+    q["stream_compact_df"] = _stream_compact_df
+
     # riot-compat Using=4 tokenizer (T4 prefix-concat quirk,
     # segment.go:40-77): numTokens bookkeeping per doc
     q["compat_using4_len"] = _compat_using4_len
@@ -353,6 +370,45 @@ def _compat_using4_len(spark, sf) -> DataFrame:
     return toks.groupBy("doc_id").agg(
         F.first("token_len").cast("long").alias("num_tokens")
     )
+
+
+def _ft_criteria_proximity(spark, sf) -> DataFrame:
+    """Custom-criteria ranking: RankByTokenProximity semantics
+    (score = 1/(proximity+1)); proximity from the LocsIndex kernel."""
+    eng = _engine(spark, sf)
+    res = eng.search(
+        SearchRequest(
+            tokens=["data", "query"], scorer="float32", criteria="proximity"
+        )
+    )
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    ).orderBy("doc_id")
+
+
+def _stream_compact_df(spark, sf) -> DataFrame:
+    """Two foreachBatch micro-batches (split by doc_id parity) +
+    compaction; returns df for 3 probe terms.  Matching the plain
+    batch oracle proves segments+tombstones converge to the one-shot
+    index (riot cache-flush semantics, core/indexer.go:116-366)."""
+    import tempfile
+
+    from riot_spark.streaming.incremental import StreamingIndexer
+
+    docs = load_documents(spark, sf).select("doc_id", "text")
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    with tempfile.TemporaryDirectory() as tmp:
+        ixer = StreamingIndexer(spark, tmp, cfg)
+        ixer.process_batch(docs.where(F.col("doc_id") % 2 == 0), 0)
+        ixer.process_batch(docs.where(F.col("doc_id") % 2 == 1), 1)
+        idx = ixer.build_live_index()
+        out = (
+            idx.term_stats.where(F.col("term").isin("data", "query", "dup"))
+            .select("term", F.col("df").cast("long").alias("df"))
+        )
+        out = out.cache()
+        out.count()  # materialize before the tmpdir vanishes
+        return out
 
 
 def _mm_media(spark, sf) -> DataFrame:
@@ -587,6 +643,41 @@ SELECT pa.doc_id AS doc_id,
        min(abs(pb.p - pa.p - octet_length(encode('data'))))::INT AS proximity
 FROM pa JOIN pb ON pa.doc_id = pb.doc_id
 GROUP BY pa.doc_id ORDER BY doc_id
+"""
+    o["ft_reverse_order"] = _bm25_sql(["data", "query"]).replace(
+        "ORDER BY score DESC, doc_id ASC", "ORDER BY score ASC, doc_id DESC"
+    ) + " LIMIT 10"
+    # criteria=proximity: same match set as ft_proximity2, score
+    # becomes 1/(proximity+1)
+    o["ft_criteria_proximity"] = """
+WITH seg AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS w,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS i
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w,
+         sum(octet_length(encode(w)) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - (octet_length(encode(w)) + 1) AS p
+  FROM seg
+),
+pa AS (SELECT doc_id, p FROM pos WHERE w = 'data'),
+pb AS (SELECT doc_id, p FROM pos WHERE w = 'query'),
+prox AS (
+  SELECT pa.doc_id AS doc_id,
+         min(abs(pb.p - pa.p - octet_length(encode('data')))) AS proximity
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id GROUP BY pa.doc_id
+)
+SELECT doc_id, round(1.0 / (proximity + 1.0), 4) AS score
+FROM prox ORDER BY doc_id
+"""
+    o["stream_compact_df"] = f"""
+WITH {_TOKS_CTE}
+SELECT term, count(*)::BIGINT AS df FROM tf
+WHERE term IN ('data','query','dup') GROUP BY term
 """
     o["compat_using4_len"] = f"""
 SELECT doc_id,
