@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from riot_spark.blocks import (
     BlockSearchEngine,
@@ -142,3 +143,21 @@ def test_wand_topk_exact(bindex, toks, k):
         np.array([r["score"] for r in pruned], dtype=np.float32),
         np.array([r["score"] for r in full], dtype=np.float32),
     )
+
+
+def test_persisted_postings_pushdown(spark, sf_index, tmp_path):
+    """Reading the persisted index must push the term filter into the
+    parquet scan (PushedFilters) and prune unread columns (ReadSchema)
+    — the plan properties that make point lookups cheap at 100 TB."""
+    path = str(tmp_path / "idx")
+    sf_index.postings.write.mode("overwrite").parquet(path)
+    q = (
+        spark.read.parquet(path)
+        .where(F.col("term") == "data")
+        .select("doc_id", "tf")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(term), EqualTo(term,data)]" in plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in rs and "tf" in rs
+    assert "positions" not in rs and "token_len" not in rs
