@@ -328,3 +328,26 @@ def test_hot_term_salting_spreads_partitions(spark):
     assert [(r["doc_id"], r["score"]) for r in r_salted] == [
         (r["doc_id"], r["score"]) for r in r_plain
     ]
+
+
+def test_stopword_filter(spark):
+    """T7: configured stopwords are dropped from postings, doc lengths,
+    and query matching (stop_tokens.go:31-57 semantics)."""
+    from riot_spark.build import build_index
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "the slow the turtle")],
+        "doc_id LONG, text STRING",
+    )
+    cfg = EngineConfig(
+        index_type=FREQUENCIES_INDEX, num_index_partitions=4,
+        stopwords=frozenset({"the"}),
+    )
+    idx = build_index(docs, cfg)
+    terms = {r["term"] for r in idx.postings.collect()}
+    assert "the" not in terms
+    assert terms == {"quick", "fox", "slow", "turtle"}
+    lens = {r["doc_id"]: r["token_len"] for r in idx.doc_stats.collect()}
+    assert lens == {1: 2.0, 2: 2.0}
+    eng = SearchEngine(idx)
+    assert eng.search(SearchRequest(tokens=["the"])).count() == 0
