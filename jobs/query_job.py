@@ -1,0 +1,51 @@
+"""spark-submit entry: run BM25 top-k queries against a built index.
+
+    spark-submit --py-files riot_spark.zip jobs/query_job.py \
+        --index <path written by build_index_job> \
+        --query "terms of one query" [--query "..." ...] \
+        [--k 10] [--output <parquet path>]
+
+Queries run as ONE batched job over the block index; results print as
+JSON lines (query_id, doc_id, score, rank) or write to --output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", action="append", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--output")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("riot_spark_query").getOrCreate()
+    from riot_spark.blocks import BlockSearchEngine, read_blocked_index
+
+    bindex = read_blocked_index(spark, args.index)
+    eng = BlockSearchEngine(bindex)
+    rows = []
+    for qi, qtext in enumerate(args.query):
+        toks = [t for t in qtext.lower().split(" ") if t]
+        res = eng.search_and(toks, k=args.k).collect()
+        for rank, r in enumerate(res, 1):
+            rows.append((f"q{qi}", int(r["doc_id"]), float(r["score"]), rank))
+    if args.output:
+        spark.createDataFrame(
+            rows, "query_id STRING, doc_id LONG, score DOUBLE, rank INT"
+        ).write.mode("overwrite").parquet(args.output)
+    else:
+        for row in rows:
+            print(json.dumps(dict(zip(("query_id", "doc_id", "score", "rank"), row))))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
