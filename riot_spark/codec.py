@@ -1,18 +1,38 @@
-"""Posting-block codec: delta + LEB128 varint, numpy-vectorized.
+"""Posting-block codec: delta + LEB128 varint + patched FOR (PForDelta
+-style) bit-packing, numpy-vectorized.
 
 Replaces riot's in-memory parallel arrays (core/indexer.go:68-74) with
 compressed byte blocks suitable for a columnar index table.  Encode
 and decode are O(total bytes) with numpy fancy indexing — no per-value
-Python loop (the loop is over byte *positions*, max 10 iterations).
+Python loop (loops run over byte positions or bit widths, <= 10 and
+<= 64 iterations).
 
-Layout per block column:
-  doc_ids: varint(delta(doc_ids)) — doc_ids strictly ascending
-  tfs / token_lens / any small positive ints: varint(values)
+Every encoded column is tagged:
+
+  0x00 + LEB128 varints                (good for skewed values)
+  0x01 + patched FOR                   (good for dense small gaps)
+
+`delta_encode`/`pack_floats_as_ints` emit whichever is smaller per
+block — hot terms' dense gap lists land on FOR (a few bits per gap),
+rare terms' sparse lists on varint.  Patched FOR layout:
+
+  [n u32][width u8][n_exc u32]
+  [ceil(n*width/8) bytes of LSB-first bit-packed low bits]
+  [varint(exception positions as deltas ++ exception high bits)]
+
+Exceptions are values that overflow `width` bits; their low bits live
+in the packed stream, high bits in the patch list (Zukowski et al.'s
+PFOR patching idea, re-expressed in numpy).
 """
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
+
+_TAG_VARINT = 0
+_TAG_PFOR = 1
 
 
 def varint_encode(values: np.ndarray) -> bytes:
@@ -55,19 +75,103 @@ def varint_decode(data: bytes) -> np.ndarray:
     return np.add.reduceat(parts, starts).astype(np.uint64)
 
 
+# ------------------------------------------------------------ patched FOR
+
+
+def _bit_width(values: np.ndarray) -> np.ndarray:
+    """bit length of each value (0 for 0)."""
+    w = np.zeros(values.shape, dtype=np.int64)
+    v = values.copy()
+    while v.any():
+        w += (v > 0).astype(np.int64)
+        v >>= np.uint64(1)
+    return w
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """Patched frame-of-reference bit-packing of a uint64 array."""
+    arr = np.asarray(values, dtype=np.uint64)
+    n = arr.size
+    if n == 0:
+        return struct.pack("<IBI", 0, 0, 0)
+    widths = _bit_width(arr)
+    # choose the width covering ~95% of values; the rest get patched
+    width = int(np.quantile(widths, 0.95))
+    width = max(width, 1)
+    exc_mask = widths > width
+    n_exc = int(exc_mask.sum())
+    low = arr & np.uint64((1 << width) - 1)
+    bits = (
+        (low[:, None] >> np.arange(width, dtype=np.uint64)[None, :])
+        .astype(np.uint8)
+        & 1
+    )
+    packed = np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    exc_pos = np.flatnonzero(exc_mask).astype(np.uint64)
+    pos_deltas = np.empty(n_exc, dtype=np.uint64)
+    if n_exc:
+        pos_deltas[0] = exc_pos[0]
+        pos_deltas[1:] = np.diff(exc_pos)
+    highs = (arr[exc_mask] >> np.uint64(width)).astype(np.uint64)
+    patch = varint_encode(np.concatenate((pos_deltas, highs)))
+    return struct.pack("<IBI", n, width, n_exc) + packed + patch
+
+
+def pfor_decode(data: bytes) -> np.ndarray:
+    n, width, n_exc = struct.unpack_from("<IBI", data, 0)
+    if n == 0:
+        return np.array([], dtype=np.uint64)
+    off = struct.calcsize("<IBI")
+    nbytes = (n * width + 7) // 8
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=off),
+        bitorder="little",
+    )[: n * width].reshape(n, width)
+    vals = (
+        bits.astype(np.uint64) << np.arange(width, dtype=np.uint64)[None, :]
+    ).sum(axis=1, dtype=np.uint64)
+    if n_exc:
+        patch = varint_decode(data[off + nbytes :])
+        pos = np.cumsum(patch[:n_exc].astype(np.int64))
+        highs = patch[n_exc:]
+        vals[pos] |= highs << np.uint64(width)
+    return vals
+
+
+def encode_ints_best(values: np.ndarray) -> bytes:
+    """Tagged best-of(varint, patched-FOR) for a uint64 array."""
+    v = varint_encode(values)
+    p = pfor_encode(values)
+    if len(p) < len(v):
+        return bytes([_TAG_PFOR]) + p
+    return bytes([_TAG_VARINT]) + v
+
+
+def decode_ints_best(data: bytes) -> np.ndarray:
+    if not data:
+        return np.array([], dtype=np.uint64)
+    tag, body = data[0], data[1:]
+    if tag == _TAG_PFOR:
+        return pfor_decode(body)
+    return varint_decode(body)
+
+
+# ----------------------------------------------------------- posting API
+
+
 def delta_encode(doc_ids: np.ndarray) -> bytes:
-    """varint(first, gaps) for a strictly ascending int array."""
+    """tagged(best(first, gaps)) for a strictly ascending int array."""
     a = np.asarray(doc_ids, dtype=np.int64)
     if a.size == 0:
         return b""
     deltas = np.empty(a.shape, dtype=np.uint64)
     deltas[0] = np.uint64(a[0])
     deltas[1:] = np.diff(a).astype(np.uint64)
-    return varint_encode(deltas)
+    return encode_ints_best(deltas)
 
 
 def delta_decode(data: bytes) -> np.ndarray:
-    d = varint_decode(data)
+    d = decode_ints_best(data)
     if d.size == 0:
         return np.array([], dtype=np.int64)
     return np.cumsum(d.astype(np.int64))
@@ -75,9 +179,11 @@ def delta_decode(data: bytes) -> np.ndarray:
 
 def pack_floats_as_ints(values: np.ndarray) -> bytes:
     """tf / token_len are small positive integers stored as float32 in
-    the flat schema — varint them as ints (lossless for our data)."""
-    return varint_encode(np.asarray(values, dtype=np.float64).astype(np.uint64))
+    the flat schema — pack them as tagged ints (lossless for our data)."""
+    return encode_ints_best(
+        np.asarray(values, dtype=np.float64).astype(np.uint64)
+    )
 
 
 def unpack_ints_as_floats(data: bytes) -> np.ndarray:
-    return varint_decode(data).astype(np.float32)
+    return decode_ints_best(data).astype(np.float32)

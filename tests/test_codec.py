@@ -38,3 +38,40 @@ def test_compression_wins():
     ids = np.arange(10_000, dtype=np.int64) * 3 + 7
     packed = delta_encode(ids)
     assert len(packed) < ids.nbytes / 4  # gaps of 3 -> ~1 byte each
+
+
+from riot_spark.codec import (  # noqa: E402
+    decode_ints_best,
+    encode_ints_best,
+    pfor_decode,
+    pfor_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_pfor_roundtrip(xs):
+    arr = np.array(xs, dtype=np.uint64)
+    assert np.array_equal(pfor_decode(pfor_encode(arr)), arr)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_best_roundtrip(xs):
+    arr = np.array(xs, dtype=np.uint64)
+    assert np.array_equal(decode_ints_best(encode_ints_best(arr)), arr)
+
+
+def test_pfor_beats_varint_on_dense_gaps():
+    """Hot-term shape: dense small gaps with a few outliers — FOR packs
+    gaps in ~2-3 bits where varint pays 8 bits minimum."""
+    rng = np.random.default_rng(42)
+    gaps = rng.integers(1, 7, size=20_000).astype(np.uint64)
+    gaps[::1000] = 100_000  # sprinkle exceptions
+    pf = pfor_encode(gaps)
+    vi = varint_encode(gaps)
+    assert len(pf) < 0.6 * len(vi)
+    tagged = encode_ints_best(gaps)
+    assert tagged[0] == 1  # picked PFOR
+    ids = np.cumsum(gaps.astype(np.int64))
+    assert np.array_equal(delta_decode(delta_encode(ids)), ids)
