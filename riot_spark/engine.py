@@ -26,9 +26,9 @@ def remove_docs(index: Index, doc_ids: list[int]) -> Index:
     tomb = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id LONG")
     postings = index.postings.join(F.broadcast(tomb), "doc_id", "left_anti")
     doc_stats = index.doc_stats.join(F.broadcast(tomb), "doc_id", "left_anti")
-    term_stats = postings.where(~F.col("is_label")).groupBy("term").agg(
-        F.count("*").alias("df")
-    )
+    # df = full posting-list length, label entries included — same as
+    # the build (riot: df = len(t.docIds), core/indexer.go:540)
+    term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
     g = doc_stats.agg(
         F.count("*").alias("n"), F.avg("token_len").alias("avgdl")
     ).collect()[0]

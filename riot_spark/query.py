@@ -427,18 +427,26 @@ class SearchEngine:
         spark = self._spark()
 
         batchable: dict[str, SearchRequest] = {}
+        logic_batch: dict[str, SearchRequest] = {}
         fallback: dict[str, SearchRequest] = {}
         for qid, req in requests.items():
-            simple = (
-                not (req.must or req.should or req.not_in)
-                and not req.count_docs_only
+            plain_opts = (
+                not req.count_docs_only
                 and not req.orderless
                 and not req.reverse_order
                 and req.doc_ids is None
-                and req.scorer == "native"
                 and req.criteria == "bm25"
             )
-            (batchable if simple else fallback)[qid] = req
+            if (
+                not (req.must or req.should or req.not_in)
+                and plain_opts
+                and req.scorer == "native"
+            ):
+                batchable[qid] = req
+            elif (req.must or req.should or req.not_in) and plain_opts:
+                logic_batch[qid] = req
+            else:
+                fallback[qid] = req
 
         out_cols = ["query_id", "doc_id", "score", "rank"]
         parts_df: list[DataFrame] = []
@@ -535,6 +543,11 @@ class SearchEngine:
                 )
                 parts_df.append(ranked)
 
+        if logic_batch:
+            ranked = self._logic_batch(logic_batch)
+            if ranked is not None:
+                parts_df.append(ranked)
+
         for qid, req in fallback.items():
             r = self.search(req)
             if req.count_docs_only or set(r.columns) == {"doc_id"}:
@@ -568,3 +581,104 @@ class SearchEngine:
         for d in parts_df[1:]:
             out = out.unionByName(d)
         return out
+
+    def _logic_batch(self, requests: dict[str, SearchRequest]) -> DataFrame | None:
+        """All must/should/notIn queries as one job (LogicLookup Q7,
+        core/indexer.go:561-685, batched).
+
+        Role-tagged broadcast query-terms table; one pass counts per
+        (query, doc) how many must/should/not terms hit, then the
+        riot predicate applies columnar:
+          must complete AND (no should requested OR >=1 should hit)
+          AND no notIn hit — except the notIn-only quirk, where the
+        notIn docs themselves are returned (indexer.go:660-682).
+        Logic results carry no BM25 (score 0, ranked by doc_id)."""
+        from pyspark.sql.window import Window
+
+        idx = self.index
+        spark = self._spark()
+        all_terms = set()
+        for req in requests.values():
+            all_terms |= set(req.must) | set(req.should) | set(req.not_in)
+        dfs = idx.lookup_terms(list(all_terms))
+        rows = []  # (qid, term, role, n_must, has_should, notin_only, k, off)
+        for qid, req in requests.items():
+            must = sorted(set(req.must))
+            should = sorted(set(t for t in req.should if t in dfs))
+            notin = sorted(set(t for t in req.not_in if t in dfs))
+            if any(t not in dfs for t in must):
+                continue  # missing must term => empty
+            if req.should and not should:
+                continue  # all should terms absent => empty
+            notin_only = not must and not req.should
+            if notin_only and not notin:
+                continue
+            for role, terms in (("m", must), ("s", should), ("n", notin)):
+                for t in terms:
+                    rows.append(
+                        (
+                            qid,
+                            t,
+                            role,
+                            len(must),
+                            bool(should),
+                            notin_only,
+                            int(req.max_outputs),
+                            int(req.offset),
+                        )
+                    )
+        if not rows:
+            return None
+        qterms = spark.createDataFrame(
+            rows,
+            "query_id STRING, term STRING, role STRING, n_must INT, "
+            "has_should BOOLEAN, notin_only BOOLEAN, k INT, qoffset INT",
+        )
+        matched = idx.postings.where(
+            F.col("term").isin(sorted({r[1] for r in rows}))
+        ).join(F.broadcast(qterms), "term")
+        role_hit = (
+            (lambda r: F.when(F.col("role") == r, F.col("term")))
+            if getattr(idx, "has_labels", True)
+            else (lambda r: F.when(F.col("role") == r, F.lit(1)))
+        )
+        count_role = (
+            F.count_distinct if getattr(idx, "has_labels", True) else F.count
+        )
+        grouped = matched.groupBy("query_id", "doc_id").agg(
+            count_role(role_hit("m")).alias("nm"),
+            count_role(role_hit("s")).alias("ns"),
+            count_role(role_hit("n")).alias("nn"),
+            F.first("n_must").alias("n_must"),
+            F.first("has_should").alias("has_should"),
+            F.first("notin_only").alias("notin_only"),
+            F.first("k").alias("k"),
+            F.first("qoffset").alias("qoffset"),
+        )
+        keep = F.when(
+            F.col("notin_only"), F.col("nn") > 0
+        ).otherwise(
+            (F.col("nm") == F.col("n_must"))
+            & (~F.col("has_should") | (F.col("ns") > 0))
+            & (F.col("nn") == 0)
+        )
+        w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
+        return (
+            grouped.where(keep)
+            .select(
+                "query_id",
+                "doc_id",
+                F.lit(0.0).cast("float").alias("score"),
+                "k",
+                "qoffset",
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(
+                (F.col("rank") > F.col("qoffset"))
+                & (
+                    (F.col("k") == 0)
+                    | (F.col("rank") <= F.col("qoffset") + F.col("k"))
+                )
+            )
+            .select("query_id", "doc_id", "score", "rank")
+        )

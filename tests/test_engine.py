@@ -351,3 +351,40 @@ def test_stopword_filter(spark):
     assert lens == {1: 2.0, 2: 2.0}
     eng = SearchEngine(idx)
     assert eng.search(SearchRequest(tokens=["the"])).count() == 0
+
+
+def test_search_batch_logic_matches_per_query(spark):
+    """Batched must/should/notIn execution must agree with the
+    per-query LogicLookup path, including the notIn-only quirk."""
+    from riot_spark.sources.corpus import load_documents
+    from riot_spark.build import build_index
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE)
+    idx = build_index(docs, EngineConfig(index_type=FREQUENCIES_INDEX,
+                                         num_index_partitions=8))
+    eng = SearchEngine(idx)
+    reqs = {
+        "l1": SearchRequest(must=["data"], should=["query", "spark"]),
+        "l2": SearchRequest(should=["query", "spark"], not_in=["dup"]),
+        "l3": SearchRequest(not_in=["dup"]),  # notIn-only quirk
+        "l4": SearchRequest(must=["data", "zzzmissing"]),  # empty
+        "l5": SearchRequest(must=["data"], not_in=["query"], max_outputs=5),
+        "mix": SearchRequest(text="data query", max_outputs=5),  # AND path
+    }
+    batch = eng.search_batch(reqs).collect()
+    by_qid: dict[str, list] = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    assert "l4" not in by_qid
+    for qid, req in reqs.items():
+        if qid == "l4":
+            continue
+        single = sorted(
+            r["doc_id"] for r in eng.search(req).collect()
+        )
+        got = sorted(r["doc_id"] for r in by_qid.get(qid, []))
+        if qid == "mix":
+            single = [r["doc_id"] for r in eng.search(req).collect()]
+            got = [r["doc_id"] for r in sorted(by_qid[qid], key=lambda r: r["rank"])]
+        assert got == sorted(single) if qid != "mix" else got == single, qid
