@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # batched multi-query execution: the whole query set as ONE job
     # (broadcast query-terms join + window top-k per query)
     q["ft_batch_topk"] = _ft_batch_topk
+    q["ft_batch_logic"] = _ft_batch_logic
 
     # token proximity (Q5, core/indexer.go:723-813): 2-term DP =
     # min over position pairs |p2 - p1 - bytelen(t1)| — SQL-expressible
@@ -331,6 +332,69 @@ def _ft_batch_topk(spark, sf) -> DataFrame:
     return res.select(
         "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
     )
+
+
+# logic batch fixture: (qid, must, should, not_in, k, offset)
+BATCH_LOGIC_QUERIES: list[tuple[str, list[str], list[str], list[str], int, int]] = [
+    ("lb_ms", ["data"], ["query", "spark"], [], 0, 0),
+    ("lb_sn", [], ["query", "spark"], ["dup"], 0, 0),
+    ("lb_n", [], [], ["dup"], 0, 0),
+    ("lb_mn", ["data"], [], ["query"], 8, 2),
+    ("lb_miss", ["data", "zzqx"], [], [], 0, 0),
+]
+
+
+def _ft_batch_logic(spark, sf) -> DataFrame:
+    eng = _engine(spark, sf)
+    reqs = {
+        qid: SearchRequest(must=m, should=s, not_in=n, max_outputs=k, offset=off)
+        for qid, m, s, n, k, off in BATCH_LOGIC_QUERIES
+    }
+    res = eng.search_batch(reqs)
+    return res.select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _logic_rank_sql(
+    qid: str,
+    must: list[str],
+    should: list[str],
+    not_in: list[str],
+    k: int,
+    offset: int,
+) -> str:
+    kcap = k if k else 10**9
+    conds = []
+    if must:
+        conds.append(
+            " AND ".join(
+                f"doc_id IN (SELECT doc_id FROM dtoks WHERE term = '{t}')"
+                for t in sorted(set(must))
+            )
+        )
+    if should:
+        conds.append(
+            "doc_id IN (SELECT doc_id FROM dtoks WHERE term IN "
+            f"({_sql_terms(sorted(set(should)))}))"
+        )
+    if not must and not should:
+        conds.append(
+            "doc_id IN (SELECT doc_id FROM dtoks WHERE term IN "
+            f"({_sql_terms(sorted(set(not_in)))}))"
+        )  # notIn-only quirk: return the notIn docs (indexer.go:660-682)
+    elif not_in:
+        conds.append(
+            "doc_id NOT IN (SELECT doc_id FROM dtoks WHERE term IN "
+            f"({_sql_terms(sorted(set(not_in)))}))"
+        )
+    where = " AND ".join(conds)
+    return f"""
+SELECT '{qid}' AS query_id, doc_id, rank FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id ASC) AS rank
+  FROM (SELECT DISTINCT doc_id FROM dtoks WHERE {where})
+) WHERE rank > {offset} AND rank <= {offset} + {kcap}
+"""
 
 
 def _bm25_rank_sql(qid: str, terms: list[str], k: int, offset: int) -> str:
@@ -618,6 +682,15 @@ GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id
     o["ft_batch_topk"] = f"""
 WITH {_TOKS_CTE}
 {" UNION ALL ".join(_bm25_rank_sql(qid, terms, k, off) for qid, terms, k, off in BATCH_QUERIES)}
+"""
+    o["ft_batch_logic"] = f"""
+WITH dtoks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) WHERE term <> ''
+)
+{" UNION ALL ".join(_logic_rank_sql(*qargs) for qargs in BATCH_LOGIC_QUERIES)}
 """
     # byte offset of word i = sum of (bytelen + 1 space) of all prior
     # split segments, INCLUDING empty segments (1 byte each) — matches
