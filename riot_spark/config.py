@@ -59,6 +59,13 @@ class EngineConfig:
     # build_salts=1 disables salting (exact legacy layout).
     build_salts: int = 8
     salt_block_bits: int = 13
+    # Reduce-task count for query-time aggregations.  Candidate sets
+    # are tiny next to the index, so inheriting the session's (build-
+    # sized) shuffle partition count just pays scheduling overhead —
+    # explicit small repartition cut p50 ~30% (398->280 ms at sf0.1).
+    # Raise for corpora where single-query candidate sets are huge;
+    # 0 = inherit the session setting.
+    query_agg_partitions: int = 8
     stopwords: frozenset[str] = frozenset()
 
 

@@ -120,6 +120,12 @@ class SearchEngine:
             else F.count("*")
         )
 
+    def _qpart(self, df: DataFrame, *cols: str) -> DataFrame:
+        """Right-size the query-time aggregation shuffle (see
+        EngineConfig.query_agg_partitions)."""
+        n = getattr(self.index.config, "query_agg_partitions", 0)
+        return df.repartition(n, *cols) if n else df
+
     def _empty(self) -> DataFrame:
         return self._spark().createDataFrame([], RESULT_SCHEMA)
 
@@ -178,7 +184,8 @@ class SearchEngine:
             else F.max(F.lit(0))
         )
         out = (
-            matched.groupBy("doc_id")
+            self._qpart(matched, "doc_id")
+            .groupBy("doc_id")
             .agg(
                 self._n_match().alias("n_match"),
                 F.sum(contrib).alias("score_d"),
@@ -285,7 +292,7 @@ class SearchEngine:
             if any(t not in present for t in req.must):
                 return None
             cand = (
-                self._matched(req.must, req.doc_ids)
+                self._qpart(self._matched(req.must, req.doc_ids), "doc_id")
                 .groupBy("doc_id")
                 .agg(self._n_match().alias("nm"))
                 .where(F.col("nm") == len(set(req.must)))
@@ -347,7 +354,8 @@ class SearchEngine:
                 result = self._empty()
             elif req.orderless:
                 return (
-                    matched.groupBy("doc_id")
+                    self._qpart(matched, "doc_id")
+                    .groupBy("doc_id")
                     .agg(self._n_match().alias("nm"))
                     .where(F.col("nm") == n_kw)
                     .select("doc_id")
@@ -505,7 +513,8 @@ class SearchEngine:
                     F.col("term").isin(list(all_terms))
                 ).join(F.broadcast(qterms), "term")
                 scored = (
-                    matched.groupBy("query_id", "doc_id")
+                    self._qpart(matched, "query_id", "doc_id")
+                    .groupBy("query_id", "doc_id")
                     .agg(
                         self._n_match().alias("n_match"),
                         F.first("n_kw").alias("n_kw"),
@@ -645,7 +654,9 @@ class SearchEngine:
         count_role = (
             F.count_distinct if getattr(idx, "has_labels", True) else F.count
         )
-        grouped = matched.groupBy("query_id", "doc_id").agg(
+        grouped = self._qpart(matched, "query_id", "doc_id").groupBy(
+            "query_id", "doc_id"
+        ).agg(
             count_role(role_hit("m")).alias("nm"),
             count_role(role_hit("s")).alias("ns"),
             count_role(role_hit("n")).alias("nn"),

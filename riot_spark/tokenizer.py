@@ -13,7 +13,11 @@ Two build paths:
   FrequenciesIndex-mode builds at 100 TB.
 * ``tokenize_locs`` — adds byte positions via ONE vectorized
   Arrow-batched pandas UDF (no per-row Python UDF), for LocsIndex mode
-  (proximity + snippet locations).
+  (proximity + snippet locations).  Measured 1.4M posting entries/s at
+  16 cores — an attempted pure-JVM variant (offsets via
+  aggregate(slice(words, 1, i))) ran 9x SLOWER because Spark
+  higher-order functions execute interpreted (no codegen) and slice()
+  copies the O(n^2) prefixes; Arrow + a tight Python loop wins.
 """
 
 from __future__ import annotations
