@@ -408,6 +408,48 @@ class SearchEngine:
     def search_batch(
         self, requests: dict[str, SearchRequest], double_scores: bool = False
     ) -> DataFrame:
+        """Dedup identical request shapes, execute unique ones via
+        :meth:`_search_batch_exec`, fan results back out with a
+        broadcast mapping join.  Real query logs repeat heavily
+        (popular queries), and a duplicated hot query would otherwise
+        re-pay its full postings aggregation."""
+        def key(req: SearchRequest):
+            return (
+                tuple(sorted(set(req.all_tokens()))),
+                tuple(sorted(req.labels)),
+                tuple(sorted(set(req.must))),
+                tuple(sorted(set(req.should))),
+                tuple(sorted(set(req.not_in))),
+                None if req.doc_ids is None else tuple(sorted(req.doc_ids)),
+                req.offset,
+                req.max_outputs,
+                req.reverse_order,
+                req.count_docs_only,
+                req.orderless,
+                req.scorer,
+                req.criteria if isinstance(req.criteria, str) else id(req.criteria),
+            )
+
+        groups: dict[tuple, list[str]] = {}
+        for qid, req in requests.items():
+            groups.setdefault(key(req), []).append(qid)
+        if all(len(v) == 1 for v in groups.values()):
+            return self._search_batch_exec(requests, double_scores)
+        reps = {v[0]: requests[v[0]] for v in groups.values()}
+        res = self._search_batch_exec(reps, double_scores)
+        mapping = [(v[0], qid) for v in groups.values() for qid in v]
+        mdf = self._spark().createDataFrame(
+            mapping, "rep_id STRING, query_id STRING"
+        )
+        return (
+            res.withColumnRenamed("query_id", "rep_id")
+            .join(F.broadcast(mdf), "rep_id")
+            .select("query_id", "doc_id", "score", "rank")
+        )
+
+    def _search_batch_exec(
+        self, requests: dict[str, SearchRequest], double_scores: bool = False
+    ) -> DataFrame:
         """Execute MANY AND/BM25 searches as ONE DataFrame program.
 
         Riot answers queries one at a time, fanning each to every shard

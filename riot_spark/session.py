@@ -42,6 +42,12 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseZGC -XX:+ZGenerational"),
         )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # shuffle/spill dirs on tmpfs: this box has one shared disk;
+        # real cluster nodes have local NVMe.  Override via SPARK_LOCAL_DIRS.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/riot-spark-local"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -388,3 +388,27 @@ def test_search_batch_logic_matches_per_query(spark):
             single = [r["doc_id"] for r in eng.search(req).collect()]
             got = [r["doc_id"] for r in sorted(by_qid[qid], key=lambda r: r["rank"])]
         assert got == sorted(single) if qid != "mix" else got == single, qid
+
+
+def test_search_batch_dedups_identical_requests(spark):
+    from riot_spark.sources.corpus import load_documents
+    from riot_spark.build import build_index
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE)
+    idx = build_index(docs, EngineConfig(index_type=FREQUENCIES_INDEX,
+                                         num_index_partitions=8))
+    eng = SearchEngine(idx)
+    reqs = {
+        "a": SearchRequest(text="data query", max_outputs=5),
+        "b": SearchRequest(tokens=["query", "data"], max_outputs=5),  # same set
+        "c": SearchRequest(text="batch", max_outputs=3),
+    }
+    rows = eng.search_batch(reqs).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    assert sorted(by["a"]) == sorted(by["b"])
+    assert len(by["c"]) == 3
