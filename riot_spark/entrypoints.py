@@ -195,6 +195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, SearchRequest(text="data", labels=["src3"], max_outputs=10),
         with_labels=True,
     )
+    # ranker side-store hydration (core/ranker.go:28-41): join top-k
+    # back to the documents table for payload columns
+    q["ft_hydrated"] = lambda s, d: SearchEngine.hydrate(
+        _search(s, d, SearchRequest(text="data query", max_outputs=5)),
+        load_documents(s, d), "source", "n_chars",
+    )
 
     # --- index tables (SURVEY §2.3, §2.5) ---
     q["ft_doc_stats"] = lambda s, d: get_index(s, d).doc_stats.select(
@@ -682,6 +688,11 @@ GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id
     o["ft_batch_topk"] = f"""
 WITH {_TOKS_CTE}
 {" UNION ALL ".join(_bm25_rank_sql(qid, terms, k, off) for qid, terms, k, off in BATCH_QUERIES)}
+"""
+    o["ft_hydrated"] = f"""
+SELECT t.doc_id AS doc_id, t.score AS score, d.source AS source,
+       d.n_chars AS n_chars
+FROM ({_bm25_sql(["data", "query"], k=5)}) t JOIN documents d USING (doc_id)
 """
     o["ft_batch_logic"] = f"""
 WITH dtoks AS (

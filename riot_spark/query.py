@@ -403,6 +403,21 @@ class SearchEngine:
             result = result.offset(req.offset)
         return result
 
+    # ---------------------------------------------------------- hydration
+
+    @staticmethod
+    def hydrate(results: DataFrame, documents: DataFrame, *doc_cols: str) -> DataFrame:
+        """Join ranked results back to the documents table — riot's
+        ranker side-store fills SearchResp.Docs with content/attri
+        (core/ranker.go:28-41, types/search_response.go:42); here the
+        documents DataFrame IS the store, and the join runs after
+        top-k so only ~k rows hydrate.  `doc_cols` picks the payload
+        columns (default: all)."""
+        payload = (
+            documents.select("doc_id", *doc_cols) if doc_cols else documents
+        )
+        return results.join(payload, "doc_id", "left")
+
     # --------------------------------------------------------------- batch
 
     def search_batch(

@@ -412,3 +412,18 @@ def test_search_batch_dedups_identical_requests(spark):
         )
     assert sorted(by["a"]) == sorted(by["b"])
     assert len(by["c"]) == 3
+
+
+def test_hydrate_joins_documents(spark):
+    from riot_spark.sources.corpus import load_documents
+    from riot_spark.build import build_index
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE)
+    idx = build_index(docs, EngineConfig(index_type=FREQUENCIES_INDEX,
+                                         num_index_partitions=8))
+    eng = SearchEngine(idx)
+    res = eng.search(SearchRequest(text="data query", max_outputs=5))
+    hyd = SearchEngine.hydrate(res, docs, "text", "source").collect()
+    assert len(hyd) == 5
+    assert all(r["text"] and "data" in r["text"].lower() for r in hyd)
