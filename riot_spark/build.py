@@ -26,7 +26,12 @@ import time
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from riot_spark.config import DEFAULT_CONFIG, EngineConfig, FREQUENCIES_INDEX
+from riot_spark.config import (
+    DEFAULT_CONFIG,
+    DOC_IDS_INDEX,
+    EngineConfig,
+    FREQUENCIES_INDEX,
+)
 from riot_spark.tokenizer import (
     doc_length_col,
     doc_lengths,
@@ -191,11 +196,20 @@ def build_index(
                 F.lit(max(1, config.build_salts)),
             ).alias("salt"),
         )
+        # DocIdsIndex (types/indexer_init_options.go:19-22): term
+        # frequencies are NOT stored; with tf=0 every BM25 contribution
+        # hits the tf>0 guard and scores stay 0, exactly riot's mode-0
+        # behavior (intersection works, ranking degenerates to doc_id)
+        tf_col = (
+            (F.count("*") * 0.0).cast("float")
+            if config.index_type == DOC_IDS_INDEX
+            else F.count("*").cast("float")
+        )
         postings = (
             raw.repartition(config.num_index_partitions, "term", "salt")
             .groupBy("term", "doc_id", "salt")
             .agg(
-                F.count("*").cast("float").alias("tf"),
+                tf_col.alias("tf"),
                 F.max("token_len").cast("float").alias("token_len"),
             )
             .select(

@@ -427,3 +427,25 @@ def test_hydrate_joins_documents(spark):
     hyd = SearchEngine.hydrate(res, docs, "text", "source").collect()
     assert len(hyd) == 5
     assert all(r["text"] and "data" in r["text"].lower() for r in hyd)
+
+
+def test_doc_ids_index_mode(spark):
+    """DocIdsIndex (mode 0, types/indexer_init_options.go:19-22):
+    intersection works, every score is 0, order degenerates to the
+    deterministic doc_id tiebreak."""
+    from riot_spark.build import build_index
+    from riot_spark.config import DOC_IDS_INDEX
+    from riot_spark.sources.corpus import load_documents
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE)
+    idx0 = build_index(docs, EngineConfig(index_type=DOC_IDS_INDEX,
+                                          num_index_partitions=8))
+    idxf = build_index(docs, EngineConfig(index_type=FREQUENCIES_INDEX,
+                                          num_index_partitions=8))
+    req = SearchRequest(tokens=["data", "query"])
+    r0 = SearchEngine(idx0).search(req).collect()
+    rf = SearchEngine(idxf).search(req).collect()
+    assert sorted(r["doc_id"] for r in r0) == sorted(r["doc_id"] for r in rf)
+    assert all(r["score"] == 0.0 for r in r0)
+    assert [r["doc_id"] for r in r0] == sorted(r["doc_id"] for r in r0)

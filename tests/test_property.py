@@ -1,0 +1,95 @@
+"""Property-based differential test: Spark engine vs the pure-Python
+riot oracle on randomized queries over a seeded random corpus.
+
+The corpus is built ONCE per module (Spark builds are expensive);
+hypothesis explores the query space — token subsets, hot/rare/absent
+mixes, offsets and limits — and every example must be rank-identical
+with float32-equal scores.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from riot_spark.build import build_index
+from riot_spark.config import EngineConfig, LOCS_INDEX
+from riot_spark.oracle import OracleIndex
+from riot_spark.query import SearchEngine, SearchRequest
+
+VOCAB = (
+    ["hot1", "hot2", "hot3"]
+    + [f"mid{i}" for i in range(12)]
+    + [f"rare{i}" for i in range(40)]
+)
+
+
+def _corpus(n_docs: int = 120, seed: int = 7) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    out = []
+    for d in range(n_docs):
+        n = rng.randint(3, 25)
+        words = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.45:
+                words.append(rng.choice(VOCAB[:3]))
+            elif r < 0.8:
+                words.append(rng.choice(VOCAB[3:15]))
+            else:
+                words.append(rng.choice(VOCAB[15:]))
+        out.append((d, " ".join(words)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    rows = _corpus()
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    eng = SearchEngine(build_index(docs, cfg))
+    oracle = OracleIndex(index_type=LOCS_INDEX)
+    for doc_id, text in rows:
+        oracle.add_doc(doc_id, text=text)
+    return eng, oracle
+
+
+query_strategy = st.tuples(
+    st.lists(
+        st.sampled_from(VOCAB + ["absent1", "absent2"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=5),   # offset
+    st.integers(min_value=0, max_value=15),  # limit
+)
+
+
+@given(query_strategy)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_queries_rank_identical(engines, query):
+    tokens, offset, limit = query
+    eng, oracle = engines
+    got = eng.search(
+        SearchRequest(
+            tokens=tokens, offset=offset, max_outputs=limit, scorer="float32"
+        )
+    ).collect()
+    want = oracle.rank(tokens, offset=offset, limit=limit)
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    np.testing.assert_array_equal(
+        np.array([r["score"] for r in got], dtype=np.float32),
+        np.array([np.float32(r["score"]) for r in want], dtype=np.float32),
+    )
+    assert [r["proximity"] for r in got] == [
+        r["proximity"] for r in want
+    ]
