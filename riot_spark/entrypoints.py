@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dd_simhash_neardup"] = lambda s, d: simhash_neardup_pairs(
         load_documents(s, d), max_hamming=26, prefix_bits=8
     )
+    q["dd_simhash_multiprobe"] = lambda s, d: _dd_simhash_multiprobe(s, d)
 
     # blocked-index path (M3/M4): AND candidate set via the packed
     # block kernel — values must equal the flat/SQL AND semantics
@@ -286,6 +287,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # argmax cosine, probe 2 of 8 lists, exact re-rank
     q["sim_ivf_topk"] = _sim_ivf_topk
     return q
+
+
+def _dd_simhash_multiprobe(spark, sf) -> DataFrame:
+    from riot_spark.operators.dedup import simhash_neardup_multiprobe
+
+    return simhash_neardup_multiprobe(
+        load_documents(spark, sf), max_hamming=26, prefix_bits=8, n_tables=4
+    )
 
 
 def _dd_exact_prefix(spark, sf) -> DataFrame:
@@ -801,6 +810,29 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM blocked a JOIN blocked b
   ON a.block = b.block AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 26
+"""
+    o["dd_simhash_multiprobe"] = f"""
+WITH w AS (SELECT DISTINCT doc_id, unnest(list_distinct({_WORDS_SQL})) AS word
+           FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+bits AS (SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM h, (SELECT unnest(range(0, 60)) AS i) GROUP BY doc_id, i),
+sh AS (SELECT doc_id,
+  sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id),
+rots AS (SELECT sh.doc_id, sh.simhash, tt.t,
+  CASE WHEN tt.r = 0 THEN sh.simhash
+       ELSE ((sh.simhash::HUGEINT << tt.r) & 1152921504606846975)::BIGINT
+            + (sh.simhash >> (60 - tt.r)) END AS rot
+  FROM sh, (VALUES (0, 0), (1, 15), (2, 30), (3, 45)) tt(t, r)),
+blocked AS (SELECT doc_id, simhash, t, rot >> (60 - 8) AS key FROM rots),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS ha, b.simhash AS hb
+         FROM blocked a JOIN blocked b
+           ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::INT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 26
 """
     o["sim_cosine_topk"] = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -210,8 +210,9 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Near-dup candidates: block on the top `prefix_bits` of the
     simhash (docs differing only in low bits collide), then filter by
-    exact Hamming distance via bit_count(xor). The multi-probe/rotation
-    generalization is a TODO at this tier."""
+    exact Hamming distance via bit_count(xor). See
+    `simhash_neardup_multiprobe` for the rotation generalization that
+    also catches pairs differing inside the prefix."""
     sh = simhash(documents, bits, text_col)
     block = F.shiftright(F.col("simhash"), bits - prefix_bits).alias("block")
     blocked = sh.select("doc_id", "simhash", block)
@@ -228,5 +229,62 @@ def simhash_neardup_pairs(
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_neardup_multiprobe(
+    documents: DataFrame,
+    max_hamming: int = 8,
+    bits: int = 60,
+    prefix_bits: int = 16,
+    n_tables: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-probe SimHash blocking: `n_tables` bit-rotations of the
+    hash each contribute a prefix block table; a pair is a candidate
+    if ANY rotation collides, so near-dups whose differing bits fall
+    inside one table's prefix are still caught by another table.
+    Candidates dedupe on (doc_a, doc_b) before the exact Hamming
+    filter.  Recall rises with n_tables at linear candidate cost —
+    same banding idea as MinHash-LSH, here over rotations."""
+    sh = simhash(documents, bits, text_col)
+    mask = (1 << bits) - 1
+    tables = []
+    for t in range(n_tables):
+        r = (t * bits) // n_tables
+        rot = (
+            F.shiftleft(F.col("simhash"), r).bitwiseAND(F.lit(mask))
+            + F.shiftright(F.col("simhash"), bits - r)
+            if r
+            else F.col("simhash")
+        )
+        tables.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftright(rot, bits - prefix_bits).alias("key"),
+            )
+        )
+    blocked = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*tables)).alias("bk")
+    ).select(
+        "doc_id", "simhash",
+        F.col("bk.t").alias("t"), F.col("bk.key").alias("key"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
