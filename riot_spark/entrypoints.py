@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tx_quality"] = lambda s, d: quality_score(load_documents(s, d))
     q["tx_langid"] = lambda s, d: language_id(load_documents(s, d))
     q["tx_fingerprint"] = lambda s, d: doc_fingerprint(load_documents(s, d))
+    q["tx_winnow"] = lambda s, d: _tx_winnow(s, d)
 
     # --- dedup ---
     q["dd_exact_prefix"] = lambda s, d: _dd_exact_prefix(s, d)
@@ -287,6 +288,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # argmax cosine, probe 2 of 8 lists, exact re-rank
     q["sim_ivf_topk"] = _sim_ivf_topk
     return q
+
+
+def _tx_winnow(spark, sf) -> DataFrame:
+    from riot_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(load_documents(spark, sf), k=5, keep=4)
 
 
 def _dd_simhash_multiprobe(spark, sf) -> DataFrame:
@@ -810,6 +817,16 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM blocked a JOIN blocked b
   ON a.block = b.block AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 26
+"""
+    o["tx_winnow"] = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+g AS (SELECT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS fp
+      FROM w, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i))
+SELECT doc_id, fp FROM (
+  SELECT doc_id, fp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY fp) AS rn
+  FROM g
+) WHERE rn <= 4
 """
     o["dd_simhash_multiprobe"] = f"""
 WITH w AS (SELECT DISTINCT doc_id, unnest(list_distinct({_WORDS_SQL})) AS word

@@ -110,3 +110,30 @@ def doc_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     text: the exact-dedup key (cheap, collision-safe at corpus scale)."""
     norm = F.concat_ws(" ", _words(text_col))
     return documents.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = 5,
+    keep: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fp) — winnowing-style rolling k-gram fingerprints:
+    hash every sliding window of k words and keep the `keep` smallest
+    hashes per doc.  Near-identical docs share most selected
+    fingerprints even under edits (the MOSS/winnowing idea); fully
+    columnar, and hash = md5 so the SQL oracle reproduces it verbatim.
+    """
+    w = _words(text_col)
+    # guard: sequence(1, n) with n < 1 would run DESCENDING in Spark
+    grams = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    selected = F.slice(F.array_sort(grams), 1, keep)
+    return documents.select(
+        "doc_id", F.explode(selected).alias("fp")
+    )

@@ -18,7 +18,7 @@ memory bus and disks, so large-core runs under-report what a real 4N
 cluster (4x bandwidth) would deliver; the efficiency numbers are a
 lower bound in that respect.
 
-Usage: python tools/bench_scaling.py [n_docs] [--pairs 2,8] [--cores-per-exec 4]
+Usage: python tools/bench_scaling.py [n_docs] [--pairs 1,4 2,8] [--cores-per-exec 1] [--locs]
 """
 
 from __future__ import annotations
@@ -94,11 +94,13 @@ def run_level(repo: str, n_exec: int, cpe: int, n_docs: int, parts: int,
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_docs = int(args[0]) if args else 200_000
-    cpe = 4
+    n_docs = int(args[0]) if args else 300_000
+    cpe = 1
     if "--cores-per-exec" in sys.argv:
         cpe = int(sys.argv[sys.argv.index("--cores-per-exec") + 1])
-    pairs = [(2, 8)]
+    # default = the BENCH.md protocol: 1-core executors, both pairs
+    # that sit below this machine's shared-memory-bus ceiling
+    pairs = [(1, 4), (2, 8)]
     if "--pairs" in sys.argv:
         i = sys.argv.index("--pairs")
         pairs = [tuple(map(int, p.split(","))) for p in sys.argv[i + 1:]
