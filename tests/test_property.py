@@ -93,3 +93,42 @@ def test_random_queries_rank_identical(engines, query):
     assert [r["proximity"] for r in got] == [
         r["proximity"] for r in want
     ]
+
+
+@pytest.fixture(scope="module")
+def labeled_engines(spark):
+    rows = _corpus(n_docs=80, seed=11)
+    labeled = [(d, t, [f"lab{d % 4}"]) for d, t in rows]
+    docs = spark.createDataFrame(
+        labeled, "doc_id LONG, text STRING, labels ARRAY<STRING>"
+    )
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    eng = SearchEngine(build_index(docs, cfg, labels_col="labels"))
+    oracle = OracleIndex(index_type=LOCS_INDEX)
+    for doc_id, text, labs in labeled:
+        oracle.add_doc(doc_id, text=text, labels=labs)
+    return eng, oracle
+
+
+@given(
+    st.lists(st.sampled_from(VOCAB[:15]), min_size=1, max_size=2, unique=True),
+    st.sampled_from(["lab0", "lab1", "lab2", "lab3", "labX"]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_label_queries_rank_identical(labeled_engines, tokens, label):
+    """Labels join the intersection but never score (T8/Q4);
+    engine must match the oracle on every random (tokens, label) mix."""
+    eng, oracle = labeled_engines
+    got = eng.search(
+        SearchRequest(tokens=tokens, labels=[label], scorer="float32")
+    ).collect()
+    want = oracle.rank(tokens, labels=[label])
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    np.testing.assert_array_equal(
+        np.array([r["score"] for r in got], dtype=np.float32),
+        np.array([np.float32(r["score"]) for r in want], dtype=np.float32),
+    )
