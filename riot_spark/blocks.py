@@ -333,12 +333,17 @@ class BlockSearchEngine:
             best.sort()
             best = best[:k]
             i = j
+            # kth result must beat every remaining bound by a float32
+            # rounding margin: the kernel accumulates in float32, so an
+            # actual score can exceed its group's (float64-assembled)
+            # bound by a few ulps — without the epsilon a group holding
+            # a true top-k doc could be pruned inside that sliver.
             if (
                 len(best) >= k
                 and i < len(groups)
-                and -best[k - 1][0] > float(groups[i]["bound"])
+                and -best[k - 1][0] > float(groups[i]["bound"]) * (1.0 + 1e-6) + 1e-6
             ):
-                break  # kth result strictly beats every remaining bound
+                break
         return spark.createDataFrame(
             [(doc_id, -negs) for negs, doc_id in best], out_schema
         )

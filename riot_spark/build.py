@@ -228,8 +228,10 @@ def build_index(
                 "text", config.stopwords, config.doc_len_mode
             ).alias("token_len"),
         )
-        # df per term: postings are already hash-partitioned by term, so
-        # this groupBy is exchange-free (partial+final in place)
+        # df per term: postings are hash-partitioned on (term, salt), so
+        # a term spans up to build_salts partitions and this groupBy
+        # pays one small exchange over the partial (map-side) counts —
+        # O(vocabulary) rows, not O(postings)
         term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
         if cache:
             postings = postings.cache()
@@ -262,6 +264,9 @@ def build_index(
         labels=labels,
         doc_stats=doc_stats,
         cache=cache,
+        # internal tokenizers emit riot tokensMaps: one row per
+        # (distinct term, doc) by construction
+        unique_postings=True,
     )
 
 
@@ -272,6 +277,7 @@ def build_index_from_tokens(
     doc_stats: DataFrame | None = None,
     cache: bool = True,
     already_partitioned: bool = False,
+    unique_postings: bool = False,
 ) -> Index:
     """Build from a (doc_id, term, tf, positions[, token_len])
     DataFrame — the external-tokens mode (riot Using=2,
@@ -282,7 +288,14 @@ def build_index_from_tokens(
     the doc_id join is skipped entirely — the one shuffle the write
     path cannot afford at 10^12 docs.  `doc_stats` may be supplied to
     pin TokenLen explicitly (riot allows a caller-provided TokenLen,
-    types/index.go:28)."""
+    types/index.go:28).
+
+    ``unique_postings``: set True ONLY when the caller guarantees at
+    most one row per (term, doc_id) — the internal tokenizers do (they
+    emit riot tokensMap entries, one per distinct term).  It unlocks
+    the count(*) intersection fast path; external token streams with
+    possible duplicates must leave it False so intersection counts
+    distinct terms and duplicate rows cannot fake an AND match."""
     if "token_len" in tokens.columns:
         if doc_stats is None:
             doc_stats = tokens.groupBy("doc_id").agg(
@@ -316,9 +329,10 @@ def build_index_from_tokens(
         )
     postings = postings.sortWithinPartitions("term", "doc_id")
 
-    # df counts non-label postings only (labels don't contribute to BM25,
-    # core/indexer.go:528) — but labels DO appear in term_stats for
-    # intersection existence checks, tracked separately.
+    # df = full posting-list length, label entries included — riot's
+    # df is len(t.docIds) (core/indexer.go:540), and label postings sit
+    # in the same lists; labels are excluded from scoring via tf=0, not
+    # via df.
     term_stats = postings.groupBy("term").agg(F.count("*").alias("df"))
 
     if cache:
@@ -331,7 +345,10 @@ def build_index_from_tokens(
         doc_stats=doc_stats,
         term_stats=term_stats,
         config=config,
-        has_labels=labels is not None,
+        # has_labels doubles as "count(*) intersection is unsafe": label
+        # rows can collide with a token row for the same (term, doc),
+        # and untrusted external streams may carry duplicates.
+        has_labels=(labels is not None) or not unique_postings,
     )
 
 
@@ -360,13 +377,17 @@ class IndexBuilder:
             "avgdl": idx.avgdl,
             "wall_s": time.time() - t0,
         }
+        # has_labels rides in global_stats so read() restores the
+        # correct intersection mode (count(*) vs countDistinct)
         self.spark.createDataFrame(
-            [(idx.n_docs, idx.avgdl)], "n_docs LONG, avgdl DOUBLE"
+            [(idx.n_docs, idx.avgdl, bool(idx.has_labels))],
+            "n_docs LONG, avgdl DOUBLE, has_labels BOOLEAN",
         ).write.mode("overwrite").parquet(f"{path}/global_stats")
         return stats
 
     def read(self, path: str) -> Index:
         g = self.spark.read.parquet(f"{path}/global_stats").collect()[0]
+        row = g.asDict()
         return Index(
             postings=self.spark.read.parquet(f"{path}/postings"),
             doc_stats=self.spark.read.parquet(f"{path}/doc_stats"),
@@ -374,4 +395,6 @@ class IndexBuilder:
             n_docs=int(g["n_docs"]),
             avgdl=float(g["avgdl"]),
             config=self.config,
+            # legacy indexes without the flag get the safe default
+            has_labels=bool(row.get("has_labels", True)),
         )

@@ -569,6 +569,26 @@ class SearchEngine:
                 matched = idx.postings.where(
                     F.col("term").isin(list(all_terms))
                 ).join(F.broadcast(qterms), "term")
+                # partial-locations guard (indexer.go:489-507), same as
+                # _score_native: under LocsIndex a scoring query token
+                # whose posting is a label (or has no positions) zeroes
+                # the whole doc score — batch and single-query results
+                # must agree on label/token term collisions.
+                locs_mode = idx.config.index_type == LOCS_INDEX
+                unscorable = (
+                    F.max(
+                        F.when(
+                            F.col("is_scoring")
+                            & (
+                                F.col("is_label")
+                                | (F.coalesce(F.size("positions"), F.lit(0)) == 0)
+                            ),
+                            1,
+                        ).otherwise(0)
+                    )
+                    if locs_mode
+                    else F.max(F.lit(0))
+                )
                 scored = (
                     self._qpart(matched, "query_id", "doc_id")
                     .groupBy("query_id", "doc_id")
@@ -578,8 +598,15 @@ class SearchEngine:
                         F.first("k").alias("k"),
                         F.first("qoffset").alias("qoffset"),
                         F.sum(contrib).alias("score_d"),
+                        unscorable.alias("unscorable"),
                     )
                     .where(F.col("n_match") == F.col("n_kw"))
+                    .withColumn(
+                        "score_d",
+                        F.when(F.col("unscorable") == 1, F.lit(0.0)).otherwise(
+                            F.col("score_d")
+                        ),
+                    )
                 )
                 score_col = (
                     F.round(F.col("score_d"), 4)

@@ -3,8 +3,57 @@
 from __future__ import annotations
 
 import os
+import re
+import shutil
+import subprocess
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def _java_major() -> int:
+    """Major version of the JVM Spark will launch (0 if undetectable)."""
+    java = os.path.join(os.environ.get("JAVA_HOME", ""), "bin", "java")
+    if not os.path.exists(java):
+        java = shutil.which("java") or ""
+    if not java:
+        return 0
+    try:
+        out = subprocess.run(
+            [java, "-version"], capture_output=True, text=True, timeout=10
+        ).stderr
+        m = re.search(r'version "(\d+)', out)
+        return int(m.group(1)) if m else 0
+    except Exception:
+        return 0
+
+
+def _gc_opts() -> str:
+    """GC flags appropriate for the detected JVM.
+
+    local[32] in one JVM: allocation-heavy string tokenization at 32
+    threads makes G1 pause-bound and bimodal (measured 3.3s vs 11.6s on
+    identical builds); ZGC stays concurrent.  Generational ZGC needs
+    JDK 21+; plain ZGC needs 15+; older JVMs get no extra flags."""
+    major = _java_major()
+    if major >= 21:
+        return "-XX:+UseZGC -XX:+ZGenerational"
+    if major >= 15:
+        return "-XX:+UseZGC"
+    return ""
+
+
+def _local_dir() -> str:
+    """tmpfs scratch when /dev/shm is big enough, else the system temp
+    dir (containers commonly cap /dev/shm at 64MB — a shuffle there
+    dies with no-space errors)."""
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 8 * (1 << 30):
+            return "/dev/shm/riot-spark-local"
+    except OSError:
+        pass
+    return os.path.join(tempfile.gettempdir(), "riot-spark-local")
 
 
 def get_spark(
@@ -34,19 +83,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        # local[32] in one JVM: allocation-heavy string tokenization at
-        # 32 threads makes G1 pause-bound and bimodal (measured 3.3s vs
-        # 11.6s on identical builds); generational ZGC stays concurrent
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseZGC -XX:+ZGenerational"),
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", _gc_opts()),
         )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # shuffle/spill dirs on tmpfs: this box has one shared disk;
-        # real cluster nodes have local NVMe.  Override via SPARK_LOCAL_DIRS.
+        # shuffle/spill dirs on tmpfs when it is big enough: this box
+        # has one shared disk; real cluster nodes have local NVMe.
+        # Override via SPARK_LOCAL_DIRS.
         .config(
             "spark.local.dir",
-            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/riot-spark-local"),
+            os.environ.get("SPARK_LOCAL_DIRS", _local_dir()),
         )
         .config("spark.ui.enabled", "false")
     )

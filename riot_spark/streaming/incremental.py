@@ -111,4 +111,8 @@ class StreamingIndexer:
         toks = self.current_tokens()
         if toks is None:
             return None
-        return build_index_from_tokens(toks, self.config, cache=cache)
+        # current_tokens keeps only the newest segment row per doc and
+        # the tokenizers emit one row per (term, doc) — unique postings
+        return build_index_from_tokens(
+            toks, self.config, cache=cache, unique_postings=True
+        )

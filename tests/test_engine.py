@@ -189,6 +189,48 @@ def test_labels_participate_in_intersection(spark):
             assert list(res[0]["snippet_locs"]) == [21, 28]
 
 
+def test_batch_unscorable_guard_matches_single(spark):
+    """search_batch must apply the LocsIndex partial-locations guard
+    (indexer.go:489-507): a query token that collides with a label term
+    zeroes the doc score in BOTH the batch and single-query paths."""
+    rows = [
+        (1, "token2", [0]), (1, "token3", [7]),
+        (2, "token3", [0]),
+    ]
+    labels = label_tokens(
+        spark.createDataFrame([(2, ["token2"])], "doc_id LONG, labels ARRAY<STRING>")
+    )
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=2)
+    idx = build_index_from_tokens(tokens_df(spark, rows), cfg, labels=labels)
+    eng = SearchEngine(idx)
+    req = SearchRequest(tokens=["token2", "token3"])
+    single = {r["doc_id"]: r["score"] for r in eng.search(req).collect()}
+    batch = {
+        r["doc_id"]: r["score"]
+        for r in eng.search_batch({"q": req}).collect()
+    }
+    assert set(single) == set(batch) == {1, 2}
+    assert batch[2] == 0.0  # label-collision doc: zero score, both paths
+    for d in single:
+        np.testing.assert_allclose(batch[d], single[d], rtol=1e-5, atol=1e-6)
+
+
+def test_external_duplicate_postings_no_false_and(spark):
+    """External token streams (Using=2) may carry duplicate (term, doc)
+    rows; intersection must count distinct terms so a duplicated token
+    cannot fake an AND match (ADVICE: _n_match count(*) invariant)."""
+    toks = spark.createDataFrame(
+        [(1, "a", 1.0, [0]), (1, "a", 1.0, [2]), (2, "a", 1.0, [0]),
+         (2, "b", 1.0, [2])],
+        "doc_id LONG, term STRING, tf FLOAT, positions ARRAY<INT>",
+    )
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=2)
+    idx = build_index_from_tokens(toks, cfg)  # external => untrusted
+    eng = SearchEngine(idx)
+    res = eng.search(SearchRequest(tokens=["a", "b"])).collect()
+    assert sorted(r["doc_id"] for r in res) == [2]
+
+
 def test_logic_lookup(e2e_engine):
     """must/should/notIn set algebra (core/indexer.go:561-685)."""
     # must=[world] should=[七十亿, 有] -> docs with world AND (七十亿 or 有)
