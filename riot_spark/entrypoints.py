@@ -278,11 +278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_neardup"] = lambda s, d: neardup_pairs(
         load_embeddings(s, d).where(F.col("vec_id") < 200), threshold=0.35
     )
-    # LSH ANN scale path: hyperplanes are library-side constants, not
-    # SQL-expressible — rows-only check (no oracle entry).
+    # LSH ANN scale path: the SRP hyperplanes are deterministic md5
+    # constants, inlined into the DuckDB oracle as literal VALUES.
     q["sim_lsh_neardup"] = lambda s, d: lsh_neardup_pairs(
         load_embeddings(s, d).where(F.col("vec_id") < 200),
-        threshold=0.35, num_planes=6,
+        threshold=0.35, num_planes=6, dim=EMB_DIM,
     )
     # IVF ANN: centroids are table rows (deterministic), assignment =
     # argmax cosine, probe 2 of 8 lists, exact re-rank
@@ -536,6 +536,44 @@ def _sim_cosine_topk(spark, sf) -> DataFrame:
 
 
 IVF_CENTROID_IDS = [0, 7, 23, 41, 77, 113, 151, 199]
+
+# Driver-testdata embedding width (same at every sf) — passed
+# explicitly so the LSH bucketing never probes a row for the dim.
+EMB_DIM = 64
+
+
+def _lsh_sql(num_planes: int, dim: int, threshold: float, id_max: int) -> str:
+    """DuckDB twin of lsh_neardup_pairs: the SRP hyperplanes are
+    deterministic (md5-derived) library constants — inlined here as
+    literal VALUES so the oracle reproduces bucket assignment and the
+    exact-cosine verify end to end."""
+    from riot_spark.operators.similarity import _hyperplane
+
+    vals = ", ".join(
+        f"({p}, {j}, {v!r})"
+        for p in range(num_planes)
+        for j, v in enumerate(_hyperplane(p, dim))
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {id_max}),
+x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+             unnest(embedding)::DOUBLE AS x FROM e),
+pl(p, j, v) AS (VALUES {vals}),
+dots AS (SELECT vec_id, p, sum(x * v) AS d FROM x JOIN pl USING (j)
+         GROUP BY vec_id, p),
+bkt AS (SELECT vec_id,
+               sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id),
+eb AS (SELECT e.vec_id, bucket, embedding FROM e JOIN bkt USING (vec_id)),
+p2 AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+              unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+       FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM (
+  SELECT ia AS id_a, ib AS id_b,
+         round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 4) AS cosine
+  FROM p2 GROUP BY ia, ib
+) WHERE cosine >= {threshold}
+"""
 
 
 def _sim_ivf_topk(spark, sf) -> DataFrame:
@@ -895,6 +933,7 @@ SELECT vec_id, cosine FROM (
   FROM p GROUP BY vec_id
 ) ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
+    o["sim_lsh_neardup"] = _lsh_sql(num_planes=6, dim=EMB_DIM, threshold=0.35, id_max=200)
     o["sim_neardup"] = """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
 p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,

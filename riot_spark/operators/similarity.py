@@ -115,6 +115,7 @@ def lsh_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     num_planes: int = 12,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -122,8 +123,9 @@ def lsh_neardup_pairs(
 
     Recall is governed by num_planes (collision prob = (1-θ/π)^planes);
     at 100 TB you'd run several plane-sets (bands) and union, same as
-    minhash banding — single-band here keeps the oracle simple."""
-    buckets = lsh_bucket(embeddings, num_planes, None, id_col, vec_col)
+    minhash banding — single-band here keeps the oracle simple.  Pass
+    `dim` when known (table metadata) to avoid the one-row probe."""
+    buckets = lsh_bucket(embeddings, num_planes, dim, id_col, vec_col)
     norm = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
