@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 
 from riot_spark.build import Index
 from riot_spark.config import LOCS_INDEX
-from riot_spark.oracle import bm25_score_f32, token_proximity
+from riot_spark.oracle import bm25_score_f32_vec, token_proximity
 from riot_spark.tokenizer import tokenize_query
 
 
@@ -213,13 +213,19 @@ class SearchEngine:
         return out
 
     def _score_float32(self, matched: DataFrame, tokens: list[str], n_kw: int) -> DataFrame:
-        """riot-bit-exact scorer + proximity via one Arrow kernel.
+        """riot-bit-exact scorer + proximity, vectorized.
 
-        Shuffle on doc_id groups a doc's matched postings (bounded by
-        |query|) into one pandas group; numpy float32 accumulation in
-        query-token order shares `bm25_score_f32`/`token_proximity`
-        with the pytest oracle.
-        """
+        One hash repartition on doc_id + a partition-local sort, then a
+        partition-level ``mapInPandas`` kernel: BM25 runs over whole
+        candidate ARRAYS via `bm25_score_f32_vec` (bit-identical to the
+        scalar loop — differential-tested), and the proximity DP runs
+        per candidate without spinning up a pandas group per doc.  The
+        previous shape (groupBy(doc_id).applyInPandas) built one
+        single-digit-row DataFrame per candidate — millions of docs
+        meant millions of pandas allocations; this kernel touches each
+        Arrow batch once.  Doc groups straddling Arrow batch boundaries
+        are held back and re-joined with the next batch (rows arrive
+        doc_id-sorted within the partition)."""
         idx = self.index
         params = idx.config.bm25
         n_docs, avgdl = idx.n_docs, idx.avgdl
@@ -229,45 +235,107 @@ class SearchEngine:
         tok_order = {t: i for i, t in enumerate(tokens)}
         tok_list = list(tokens)
         df_list = [dfs.get(t, 0) for t in tokens]
+        n_tok = len(tok_list)
+        out_cols = ["doc_id", "score", "proximity", "snippet_locs"]
 
-        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            if pdf["term"].nunique() != n_kw:
-                return pd.DataFrame(
-                    columns=["doc_id", "score", "proximity", "snippet_locs"]
-                )
-            doc_id = int(pdf["doc_id"].iloc[0])
-            dl = float(pdf["token_len"].iloc[0])
-            tfs = [0.0] * len(tok_list)
-            poss: list[list[int]] = [[] for _ in tok_list]
-            has_unscorable = False
-            for _, row in pdf.iterrows():
-                t = row["term"]
-                if t not in tok_order:
-                    continue  # label keyword
-                i = tok_order[t]
-                pos = row["positions"]
-                pos = list(pos) if pos is not None else []
-                if row["is_label"] or (locs_mode and not pos):
-                    has_unscorable = True
-                poss[i] = pos
-                tfs[i] = len(pos) if locs_mode else float(row["tf"])
-            if locs_mode and has_unscorable:
-                return pd.DataFrame(
-                    [[doc_id, np.float32(0.0), -1, []]],
-                    columns=["doc_id", "score", "proximity", "snippet_locs"],
-                )
-            score = bm25_score_f32(
-                tfs, df_list, dl, n_docs, avgdl, params, index_type
-            )
-            prox, snippet = (-1, [])
+        def flush(pdf: pd.DataFrame) -> pd.DataFrame | None:
+            # complete AND matches: doc has all n_kw distinct keywords
+            nuniq = pdf.groupby("doc_id", sort=False)["term"].nunique()
+            full_ids = nuniq.index[nuniq.to_numpy() == n_kw]
+            if len(full_ids) == 0:
+                return None
+            sub = pdf[pdf["doc_id"].isin(full_ids)]
+            # query-token rows only (drop label-keyword terms)
+            ti = sub["term"].map(tok_order)
+            qmask = ti.notna().to_numpy()
+            q = sub[qmask]
+            ti = ti[qmask].astype(np.int64).to_numpy()
+            doc_arr = q["doc_id"].to_numpy(np.int64)
+            docs_u, doc_pos = np.unique(doc_arr, return_inverse=True)
+            nd = len(docs_u)
             if locs_mode:
-                prox, snippet = token_proximity(poss, tok_list)
+                plen = q["positions"].map(
+                    lambda p: 0 if p is None else len(p)
+                ).to_numpy(np.float32)
+                tf_arr = plen
+                bad = q["is_label"].to_numpy(bool) | (plen == 0)
+            else:
+                tf_arr = np.where(
+                    q["is_label"].to_numpy(bool),
+                    np.float32(0.0),
+                    q["tf"].to_numpy(np.float32),
+                )
+                bad = np.zeros(len(q), dtype=bool)
+            # pivot: (doc x token-position) tf matrix; later rows win,
+            # matching the scalar kernel's overwrite order
+            tf_mat = np.zeros((nd, n_tok), dtype=np.float32)
+            tf_mat[doc_pos, ti] = tf_arr
+            unscorable = np.zeros(nd, dtype=bool)
+            if locs_mode:
+                np.logical_or.at(unscorable, doc_pos[bad], True)
+            dl = np.zeros(nd, dtype=np.float32)
+            dl[doc_pos] = q["token_len"].to_numpy(np.float32)
+            scores = bm25_score_f32_vec(
+                [tf_mat[:, i] for i in range(n_tok)],
+                df_list, dl, n_docs, avgdl, params,
+            )
+            prox = np.full(nd, -1, dtype=np.int64)
+            snippets: list[list[int]] = [[] for _ in range(nd)]
+            if locs_mode:
+                scores = np.where(unscorable, np.float32(0.0), scores)
+                # proximity DP per scorable candidate — O(total
+                # positions) each, batched through one row scan
+                pos_by_doc: dict[int, list] = {}
+                for j, (d, p) in enumerate(zip(doc_pos, q["positions"])):
+                    if not unscorable[d]:
+                        pos_by_doc.setdefault(int(d), [None] * n_tok)[
+                            ti[j]
+                        ] = list(p) if p is not None else []
+                for d, poss in pos_by_doc.items():
+                    poss = [p if p is not None else [] for p in poss]
+                    prox[d], snippets[d] = token_proximity(poss, tok_list)
             return pd.DataFrame(
-                [[doc_id, score, prox, snippet]],
-                columns=["doc_id", "score", "proximity", "snippet_locs"],
+                {
+                    "doc_id": docs_u,
+                    "score": scores,
+                    "proximity": prox.astype(np.int32),
+                    "snippet_locs": snippets,
+                },
+                columns=out_cols,
             )
 
-        return matched.groupBy("doc_id").applyInPandas(score_group, RESULT_SCHEMA)
+        need = ["doc_id", "term", "tf", "positions", "token_len", "is_label"]
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            held: pd.DataFrame | None = None
+            for pdf in batches:
+                pdf = pdf[need]
+                if held is not None:
+                    pdf = pd.concat([held, pdf], ignore_index=True)
+                # hold back the stream-tail doc — it may continue in
+                # the next Arrow batch
+                tail_doc = pdf["doc_id"].iloc[-1]
+                tail_mask = (pdf["doc_id"] == tail_doc).to_numpy()
+                held = pdf[tail_mask]
+                body = pdf[~tail_mask]
+                if len(body):
+                    out = flush(body)
+                    if out is not None:
+                        yield out
+            if held is not None and len(held):
+                out = flush(held)
+                if out is not None:
+                    yield out
+
+        # the kernel needs every row of a doc in ONE partition — always
+        # repartition on doc_id (unlike _qpart, which may be a no-op)
+        nparts = getattr(idx.config, "query_agg_partitions", 0)
+        part = (
+            matched.repartition(nparts, "doc_id")
+            if nparts
+            else matched.repartition("doc_id")
+        ).sortWithinPartitions("doc_id")
+        return part.mapInPandas(kernel, RESULT_SCHEMA)
 
     # ------------------------------------------------------------ logic ops
 
