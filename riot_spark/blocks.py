@@ -14,10 +14,15 @@ pointer-skipping; riot instead binary-searches posting arrays,
 core/indexer.go:690-721).
 
 Each block stores doc_ids (delta+varint), tfs and token_lens (varint),
-and `norm_max` — the exact per-block maximum of the BM25 tf/length
-normalization term, so the query-time upper bound is idf * norm_max
-(block-max WAND metadata; the adaptive threshold pass is future work —
-the AND-existence prune dominates for conjunctive queries).
+`positions` (LocsIndex mode: per-doc byte offsets, delta + patched-FOR
+packed, offsets implied by tfs — mirroring riot's locations-beside-
+frequencies parallel arrays, core/indexer.go:71-73), and `norm_max` —
+the exact per-block maximum of the BM25 tf/length normalization term,
+so the query-time upper bound is idf * norm_max (block-max WAND
+metadata).  Label postings (searchable keywords with no positions,
+segment.go:264-279) pack as separate `is_label` rows with tf=0, so the
+block path serves the FULL query surface: AND+BM25, labels, logic
+must/should/notIn, token proximity + snippet locations.
 
 At 100 TB: blocks shrink the index ~4-8x vs flat rows, shuffle volume
 for a query is the packed bytes of its terms only, and hot terms
@@ -44,22 +49,26 @@ from riot_spark.codec import (
     delta_decode,
     delta_encode,
     pack_floats_as_ints,
+    pack_position_lists,
     unpack_ints_as_floats,
+    unpack_position_lists,
     varint_decode,
     varint_encode,
 )
-from riot_spark.config import BM25Params
+from riot_spark.config import LOCS_INDEX, BM25Params
 
 BLOCKS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
         T.StructField("block_id", T.LongType(), False),
+        T.StructField("is_label", T.BooleanType(), False),
         T.StructField("n", T.IntegerType(), False),
         T.StructField("first_doc_id", T.LongType(), False),
         T.StructField("last_doc_id", T.LongType(), False),
         T.StructField("doc_ids", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("token_lens", T.BinaryType(), False),
+        T.StructField("positions", T.BinaryType(), True),
         T.StructField("norm_max", T.FloatType(), False),
     ]
 )
@@ -85,32 +94,45 @@ def build_blocks(index: Index, doc_block_bits: int = 13) -> DataFrame:
         )
     k1, b = index.config.bm25.k1, index.config.bm25.b
     avgdl = index.avgdl
+    locs = index.config.index_type == LOCS_INDEX
+    cols = ["doc_id", "term", "tf", "token_len", "is_label"]
+    if locs:
+        cols.append("positions")
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf: list[pd.DataFrame] = []
-        cur_key: tuple | None = None
 
         def emit(rows: list[dict], g: pd.DataFrame, key):
             doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
             tfs = g["tf"].to_numpy(dtype=np.float32)
             dls = g["token_len"].to_numpy(dtype=np.float32)
+            is_label = bool(key[2])
             norm = _norm_term(tfs, dls, k1, b, avgdl) if avgdl else np.zeros(1)
+            pos_bin = None
+            if locs and not is_label:
+                # tf == len(positions) in LocsIndex mode, so tfs double
+                # as the positions offset table — no extra counts stored
+                pos_bin = pack_position_lists(
+                    [p if p is not None else [] for p in g["positions"]]
+                )
             rows.append(
                 {
                     "term": key[0],
                     "block_id": int(key[1]),
+                    "is_label": is_label,
                     "n": len(doc_ids),
                     "first_doc_id": int(doc_ids[0]),
                     "last_doc_id": int(doc_ids[-1]),
                     "doc_ids": delta_encode(doc_ids),
                     "tfs": pack_floats_as_ints(tfs),
                     "token_lens": pack_floats_as_ints(dls),
+                    "positions": pos_bin,
                     "norm_max": np.float32(norm.max() if len(norm) else 0.0),
                 }
             )
 
         def flush(pdf: pd.DataFrame, final: bool) -> pd.DataFrame | None:
-            nonlocal buf, cur_key
+            nonlocal buf
             if pdf is not None:
                 buf.append(pdf)
             if not buf:
@@ -121,8 +143,9 @@ def build_blocks(index: Index, doc_block_bits: int = 13) -> DataFrame:
                 block_id=lambda d: d["doc_id"].to_numpy(np.int64) >> doc_block_bits
             )
             if not final:
-                # hold back the stream-tail group — it may continue in
-                # the next Arrow batch (rows arrive (term, doc_id)-sorted)
+                # hold back the stream-tail (term, block) — it may
+                # continue in the next Arrow batch (rows arrive
+                # (term, doc_id)-sorted, label/content interleaved)
                 tail_term = all_df["term"].iloc[-1]
                 tail_block = int(all_df["block_id"].iloc[-1])
                 tail_mask = (all_df["term"] == tail_term) & (
@@ -135,20 +158,21 @@ def build_blocks(index: Index, doc_block_bits: int = 13) -> DataFrame:
             if all_df.empty:
                 return None
             rows: list[dict] = []
-            for key, g in all_df.groupby(["term", "block_id"], sort=False):
+            for key, g in all_df.groupby(
+                ["term", "block_id", "is_label"], sort=False
+            ):
                 emit(rows, g, key)
             return pd.DataFrame(rows) if rows else None
 
         for pdf in batches:
-            out = flush(pdf[["doc_id", "term", "tf", "token_len"]], final=False)
+            out = flush(pdf[cols], final=False)
             if out is not None:
                 yield out
         out = flush(None, final=True)
         if out is not None:
             yield out
 
-    flat = index.postings.where(~F.col("is_label"))
-    return flat.mapInPandas(pack, schema=BLOCKS_SCHEMA)
+    return index.postings.mapInPandas(pack, schema=BLOCKS_SCHEMA)
 
 
 @dataclass
@@ -158,6 +182,7 @@ class BlockedIndex:
     n_docs: int
     avgdl: float
     params: BM25Params
+    has_positions: bool = False
     _term_df_cache: dict | None = None
 
     def lookup_terms(self, terms: list[str]) -> dict[str, int]:
@@ -177,81 +202,282 @@ def blocked_from_index(index: Index, doc_block_bits: int = 13, cache: bool = Tru
         n_docs=index.n_docs,
         avgdl=index.avgdl,
         params=index.config.bm25,
+        has_positions=index.config.index_type == LOCS_INDEX,
         _term_df_cache=index._term_df_cache,
     )
     return bi
 
 
 class BlockSearchEngine:
-    """AND + BM25 over packed blocks.
+    """Full query surface over packed blocks.
 
     Plan: scan blocks (term filter -> parquet row-group pruning on the
     sorted term column) -> shuffle packed bytes by block_id -> Arrow
     kernel per doc-range group (decode, k-way intersect via sorted
-    merge, float32 BM25) -> global top-k.  Rank-identical to the flat
-    float32 engine (differential-tested)."""
+    merge, float32 BM25, proximity DP when positions are packed) ->
+    global top-k.  Rank-identical to the flat float32 engine
+    (differential-tested); labels and must/should/notIn logic run on
+    the same packed layout."""
 
     def __init__(self, bindex: BlockedIndex):
         self.bi = bindex
 
-    def search_and(self, tokens: list[str], k: int = 0) -> DataFrame:
+    @staticmethod
+    def _decode_ids(row) -> np.ndarray:
+        return delta_decode(bytes(row["doc_ids"]))
+
+    @staticmethod
+    def _member(ids: np.ndarray, cur: np.ndarray):
+        """(found mask, index-into-ids) membership of cur in sorted ids."""
+        if ids.size == 0:
+            return np.zeros(cur.size, dtype=bool), np.zeros(cur.size, dtype=np.int64)
+        pos = np.searchsorted(ids, cur)
+        safe = np.minimum(pos, ids.size - 1)
+        return (pos < ids.size) & (ids[safe] == cur), safe
+
+    def search_and(
+        self,
+        tokens: list[str],
+        labels: list[str] | tuple = (),
+        k: int = 0,
+        proximity: bool = False,
+    ) -> DataFrame:
+        """AND + BM25 (+ labels, + proximity/snippets in LocsIndex
+        blocks).  Semantics match the flat engine: labels intersect but
+        never score; under packed positions a query token matched only
+        via a label posting makes the doc unscorable (score 0,
+        indexer.go:489-507)."""
         bi = self.bi
-        dfs = bi.lookup_terms(list(set(tokens)))
-        if not tokens or any(t not in dfs for t in tokens):
-            spark = bi.blocks.sparkSession
-            return spark.createDataFrame(
-                [], "doc_id LONG, score FLOAT"
-            )
-        n_terms = len(set(tokens))
+        spark = bi.blocks.sparkSession
         tok_list = list(tokens)
-        df_list = [dfs[t] for t in tokens]
+        keywords = tok_list + [t for t in labels if t not in tok_list]
+        do_prox = proximity and bi.has_positions
+        out_schema = (
+            "doc_id LONG, score FLOAT, proximity INT, snippet_locs ARRAY<INT>"
+            if do_prox
+            else "doc_id LONG, score FLOAT"
+        )
+        dfs = bi.lookup_terms(keywords)
+        if not keywords or any(t not in dfs for t in keywords):
+            return spark.createDataFrame([], out_schema)
+        kw_set = set(keywords)
+        n_kw = len(kw_set)
+        df_list = [dfs[t] for t in tok_list]
         n_docs, avgdl = bi.n_docs, bi.avgdl
         params = bi.params
+        locs = bi.has_positions
+        n_tok = len(tok_list)
 
-        from riot_spark.oracle import bm25_score_f32_vec
+        from riot_spark.oracle import bm25_score_f32_vec, token_proximity
+
+        # plain-function refs: the kernel closure must NOT capture self
+        # (it holds DataFrames -> SparkContext -> PicklingError)
+        decode_ids = BlockSearchEngine._decode_ids
+        member = BlockSearchEngine._member
+
+        empty_cols = {"doc_id": np.array([], np.int64),
+                      "score": np.array([], np.float32)}
+        if do_prox:
+            empty_cols["proximity"] = np.array([], np.int32)
+            empty_cols["snippet_locs"] = []
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            if pdf["term"].nunique() != n_terms:
-                return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                    {"doc_id": "int64", "score": "float32"}
-                )
-            rows = {r["term"]: r for _, r in pdf.iterrows()}
-            # k-way sorted intersection, smallest list first
-            ordered = sorted(tok_list, key=lambda t: rows[t]["n"])
-            cur = delta_decode(bytes(rows[ordered[0]]["doc_ids"]))
-            for t in ordered[1:]:
-                ids = delta_decode(bytes(rows[t]["doc_ids"]))
-                cur = cur[np.isin(cur, ids, assume_unique=True)]
-                if cur.size == 0:
-                    return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                        {"doc_id": "int64", "score": "float32"}
+            empty = pd.DataFrame(empty_cols)
+            if pdf["term"].nunique() != n_kw:
+                return empty  # AND prune: a keyword absent in this range
+            tok_rows: dict = {}
+            lab_rows: dict = {}
+            for _, r in pdf.iterrows():
+                (lab_rows if r["is_label"] else tok_rows)[r["term"]] = r
+            ids_cache: dict = {}
+
+            def kw_ids(t):
+                if t not in ids_cache:
+                    parts = []
+                    if t in tok_rows:
+                        parts.append(decode_ids(tok_rows[t]))
+                    if t in lab_rows:
+                        parts.append(decode_ids(lab_rows[t]))
+                    ids_cache[t] = (
+                        parts[0] if len(parts) == 1 else np.union1d(*parts)
                     )
+                return ids_cache[t]
+
+            # k-way sorted intersection, smallest candidate set first
+            ordered = sorted(kw_set, key=lambda t: kw_ids(t).size)
+            cur = kw_ids(ordered[0])
+            for t in ordered[1:]:
+                cur = cur[np.isin(cur, kw_ids(t), assume_unique=True)]
+                if cur.size == 0:
+                    return empty
             # gather tf / token_len aligned to cur, in query-token order
             tf_cols = []
-            dl = None
+            dl = np.zeros(cur.size, dtype=np.float32)
+            unscor = np.zeros(cur.size, dtype=bool)
+            tok_found: list[np.ndarray] = []
+            tok_idx: list[np.ndarray] = []
             for t in tok_list:
-                ids = delta_decode(bytes(rows[t]["doc_ids"]))
-                tfs = unpack_ints_as_floats(bytes(rows[t]["tfs"]))
-                pos = np.searchsorted(ids, cur)
-                tf_cols.append(tfs[pos])
-                if dl is None:
-                    dls = unpack_ints_as_floats(bytes(rows[t]["token_lens"]))
-                    dl = dls[pos]
+                if t in tok_rows:
+                    r = tok_rows[t]
+                    ids = decode_ids(r)
+                    found, safe = member(ids, cur)
+                    tfs = unpack_ints_as_floats(bytes(r["tfs"]))
+                    tf_cols.append(
+                        np.where(found, tfs[safe], np.float32(0.0)).astype(
+                            np.float32
+                        )
+                    )
+                    dls = unpack_ints_as_floats(bytes(r["token_lens"]))
+                    dl = np.where(found, dls[safe], dl).astype(np.float32)
+                else:
+                    found = np.zeros(cur.size, dtype=bool)
+                    safe = np.zeros(cur.size, dtype=np.int64)
+                    tf_cols.append(np.zeros(cur.size, dtype=np.float32))
+                if locs:
+                    unscor |= ~found  # label-only match => unscorable
+                tok_found.append(found)
+                tok_idx.append(safe)
+            # docs matched purely via labels still need a token_len for
+            # BM25 — any keyword row carries it
+            if not dl.all():
+                for t in keywords:
+                    for rows_d in (lab_rows, tok_rows):
+                        if t in rows_d:
+                            r = rows_d[t]
+                            ids = decode_ids(r)
+                            found, safe = member(ids, cur)
+                            dls = unpack_ints_as_floats(bytes(r["token_lens"]))
+                            fill = (dl == 0) & found
+                            dl = np.where(fill, dls[safe], dl).astype(np.float32)
             scores = bm25_score_f32_vec(
                 tf_cols, df_list, dl, n_docs, avgdl, params
             )
-            return pd.DataFrame({"doc_id": cur.astype("int64"), "score": scores})
+            if locs:
+                scores = np.where(unscor, np.float32(0.0), scores)
+            out = {"doc_id": cur.astype("int64"), "score": scores}
+            if do_prox:
+                prox = np.full(cur.size, -1, dtype=np.int32)
+                snippets: list[list[int]] = [[] for _ in range(cur.size)]
+                # decode each token's packed positions once per block
+                decoded: dict[str, tuple] = {}
+                for t in tok_list:
+                    if t in tok_rows:
+                        r = tok_rows[t]
+                        counts = (
+                            unpack_ints_as_floats(bytes(r["tfs"]))
+                            .astype(np.int64)
+                        )
+                        flat, offs = unpack_position_lists(
+                            bytes(r["positions"] or b""), counts
+                        )
+                        decoded[t] = (flat, offs, counts)
+                for j in range(cur.size):
+                    if unscor[j] or n_tok == 0:
+                        continue
+                    poss = []
+                    for i, t in enumerate(tok_list):
+                        flat, offs, counts = decoded[t]
+                        ix = int(tok_idx[i][j])
+                        if tok_found[i][j]:
+                            poss.append(
+                                flat[offs[ix] : offs[ix] + counts[ix]].tolist()
+                            )
+                        else:
+                            poss.append([])
+                    prox[j], snippets[j] = token_proximity(poss, tok_list)
+                out["proximity"] = prox
+                out["snippet_locs"] = snippets
+            return pd.DataFrame(out)
 
-        matched = bi.blocks.where(F.col("term").isin(tok_list))
-        if k:
-            wand = self._wand_topk(matched, kernel, tok_list, df_list, k)
+        matched = bi.blocks.where(F.col("term").isin(keywords))
+        if k and not do_prox:
+            wand = self._wand_topk(matched, kernel, tok_list, df_list, n_kw, k)
             if wand is not None:
                 return wand
-        scored = matched.groupBy("block_id").applyInPandas(
-            kernel, "doc_id LONG, score FLOAT"
-        )
+        scored = matched.groupBy("block_id").applyInPandas(kernel, out_schema)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k else out
+
+    def search_logic(
+        self,
+        must: list[str] | tuple = (),
+        should: list[str] | tuple = (),
+        not_in: list[str] | tuple = (),
+    ) -> DataFrame:
+        """must/should/notIn set algebra on the packed layout
+        (LogicLookup, core/indexer.go:561-685).  Correct per doc-range
+        group because ALL of a doc's postings for the referenced terms
+        live in that group — subtraction and the should-filter never
+        need cross-range information.  notIn-only returns the notIn
+        docs themselves (indexer.go:660-682)."""
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        must, should, not_in = list(must), list(should), list(not_in)
+        present = bi.lookup_terms(list(set(must) | set(should) | set(not_in)))
+        out_schema = "doc_id LONG"
+        if any(t not in present for t in must):
+            return spark.createDataFrame([], out_schema)
+        should_p = [t for t in should if t in present]
+        notin_p = [t for t in not_in if t in present]
+        if should and not should_p:
+            return spark.createDataFrame([], out_schema)
+        notin_only = not must and not should
+        if notin_only and not notin_p:
+            return spark.createDataFrame([], out_schema)
+        must_set, should_set, notin_set = (
+            sorted(set(must)), sorted(set(should_p)), sorted(set(notin_p))
+        )
+        all_terms = sorted(set(must_set) | set(should_set) | set(notin_set))
+        decode_ids = BlockSearchEngine._decode_ids
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows_by_term: dict[str, list] = {}
+            for _, r in pdf.iterrows():
+                rows_by_term.setdefault(r["term"], []).append(r)
+
+            def term_ids(t):
+                parts = [decode_ids(r) for r in rows_by_term.get(t, [])]
+                if not parts:
+                    return np.array([], dtype=np.int64)
+                return parts[0] if len(parts) == 1 else np.union1d(*parts)
+
+            empty = pd.DataFrame({"doc_id": np.array([], np.int64)})
+            if must_set:
+                if any(t not in rows_by_term for t in must_set):
+                    return empty  # a must term absent in this doc range
+                ordered = sorted(must_set, key=lambda t: term_ids(t).size)
+                cur = term_ids(ordered[0])
+                for t in ordered[1:]:
+                    cur = cur[np.isin(cur, term_ids(t), assume_unique=True)]
+                    if cur.size == 0:
+                        return empty
+                if should_set:
+                    sh = [term_ids(t) for t in should_set if t in rows_by_term]
+                    if not sh:
+                        return empty
+                    union = sh[0] if len(sh) == 1 else np.union1d(*sh) if len(sh) == 2 else np.unique(np.concatenate(sh))
+                    cur = cur[np.isin(cur, union)]
+            elif should_set:
+                sh = [term_ids(t) for t in should_set if t in rows_by_term]
+                if not sh:
+                    return empty
+                cur = np.unique(np.concatenate(sh))
+            else:
+                ni = [term_ids(t) for t in notin_set if t in rows_by_term]
+                if not ni:
+                    return empty
+                # notIn-only quirk: the notIn docs themselves
+                return pd.DataFrame(
+                    {"doc_id": np.unique(np.concatenate(ni)).astype("int64")}
+                )
+            if notin_set:
+                ni = [term_ids(t) for t in notin_set if t in rows_by_term]
+                if ni:
+                    cur = cur[~np.isin(cur, np.unique(np.concatenate(ni)))]
+            return pd.DataFrame({"doc_id": cur.astype("int64")})
+
+        matched = bi.blocks.where(F.col("term").isin(all_terms))
+        return matched.groupBy("block_id").applyInPandas(kernel, out_schema)
 
     def _wand_topk(
         self,
@@ -259,6 +485,7 @@ class BlockSearchEngine:
         kernel,
         tok_list: list[str],
         df_list: list[int],
+        n_kw: int,
         k: int,
     ) -> DataFrame | None:
         """Block-max WAND, batch-shaped.
@@ -283,22 +510,25 @@ class BlockSearchEngine:
 
         bi = self.bi
         spark = bi.blocks.sparkSession
-        n_terms = len(set(tok_list))
         idf = {
             t: _m.log2(bi.n_docs / df + 1.0)
             for t, df in zip(tok_list, df_list)
         }
+        # label rows carry norm_max = 0 (tf = 0) so they never inflate
+        # a bound; label-only terms get idf 0 and contribute nothing
         idf_col = F.lit(0.0)
         for t, v in idf.items():
-            idf_col = F.when(F.col("term") == t, F.lit(v)).otherwise(idf_col)
+            idf_col = F.when(
+                (F.col("term") == t) & ~F.col("is_label"), F.lit(v)
+            ).otherwise(idf_col)
         meta = (
             matched.groupBy("block_id")
             .agg(
-                F.count("*").alias("nt"),
+                F.countDistinct("term").alias("nt"),
                 F.sum(idf_col * F.col("norm_max")).alias("bound"),
                 F.min("n").alias("cap"),
             )
-            .where(F.col("nt") == n_terms)
+            .where(F.col("nt") == n_kw)
             .select("block_id", "bound", "cap")
             .collect()
         )
@@ -390,8 +620,16 @@ def write_blocked_index(
     bindex.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
     spark = bindex.blocks.sparkSession
     spark.createDataFrame(
-        [(bindex.n_docs, bindex.avgdl, bindex.params.k1, bindex.params.b)],
-        "n_docs LONG, avgdl DOUBLE, k1 DOUBLE, b DOUBLE",
+        [
+            (
+                bindex.n_docs,
+                bindex.avgdl,
+                bindex.params.k1,
+                bindex.params.b,
+                bool(bindex.has_positions),
+            )
+        ],
+        "n_docs LONG, avgdl DOUBLE, k1 DOUBLE, b DOUBLE, has_positions BOOLEAN",
     ).write.mode("overwrite").parquet(f"{path}/global_stats")
     per_part = (
         bindex.blocks.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -429,10 +667,12 @@ def write_blocked_index(
 
 def read_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
     g = spark.read.parquet(f"{path}/global_stats").collect()[0]
+    row = g.asDict()
     return BlockedIndex(
         blocks=spark.read.parquet(f"{path}/blocks"),
         term_stats=spark.read.parquet(f"{path}/term_stats"),
         n_docs=int(g["n_docs"]),
         avgdl=float(g["avgdl"]),
         params=BM25Params(k1=float(g["k1"]), b=float(g["b"])),
+        has_positions=bool(row.get("has_positions", False)),
     )

@@ -177,6 +177,51 @@ def delta_decode(data: bytes) -> np.ndarray:
     return np.cumsum(d.astype(np.int64))
 
 
+def pack_position_lists(pos_lists) -> bytes:
+    """Pack per-doc byte-position lists into one tagged int stream.
+
+    Layout: the lists are concatenated; within each list values are
+    delta-encoded (first absolute, then gaps) and the whole stream goes
+    through best-of(varint, patched-FOR).  Counts are NOT stored — in
+    LocsIndex mode tf == len(positions) (segment.go:290-296), so the
+    block's tf column doubles as the offsets table and positions cost
+    only their packed gap bits (the same trick riot's parallel arrays
+    get from locations living beside frequencies, core/indexer.go:71-73).
+    """
+    arrs = [np.asarray(p, dtype=np.int64) for p in pos_lists]
+    counts = np.array([a.size for a in arrs], dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return b""
+    flat = np.concatenate([a for a in arrs if a.size])
+    d = np.diff(flat, prepend=flat[:1] * 0)
+    starts = np.cumsum(counts) - counts  # first index of each list
+    nz = starts[counts > 0]
+    d[nz] = flat[nz]  # list-first values stay absolute
+    return encode_ints_best(d.astype(np.uint64))
+
+
+def unpack_position_lists(
+    data: bytes, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`pack_position_lists`.
+
+    Returns (flat positions, start offset per list); list i is
+    ``flat[offsets[i] : offsets[i] + counts[i]]``.  Fully vectorized:
+    one global cumsum plus a per-list correction.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    offsets = np.cumsum(counts) - counts
+    if not data:
+        return np.array([], dtype=np.int64), offsets
+    d = decode_ints_best(data).astype(np.int64)
+    c = np.cumsum(d)
+    # cumsum value just before each list's first element
+    before = np.concatenate(([0], c))[offsets]
+    flat = c - np.repeat(before, counts)
+    return flat, offsets
+
+
 def pack_floats_as_ints(values: np.ndarray) -> bytes:
     """tf / token_len are small positive integers stored as float32 in
     the flat schema — pack them as tagged ints (lossless for our data)."""

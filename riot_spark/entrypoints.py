@@ -238,6 +238,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # blocked-index path (M3/M4): AND candidate set via the packed
     # block kernel — values must equal the flat/SQL AND semantics
     q["ft_block_and2"] = _ft_block_and2
+    # block-path proximity: positions packed inside the blocks
+    # (delta+PFOR, offsets implied by tfs) — values must equal the
+    # flat LocsIndex proximity query ft_proximity2
+    q["ft_block_proximity2"] = _ft_block_proximity2
+    # block-path logic (must/should/notIn over packed doc-range groups)
+    q["ft_block_logic"] = _ft_block_logic
+    # block-path labels: is_label rows intersect but never score
+    q["ft_block_labels"] = _ft_block_labels
 
     # batched multi-query execution: the whole query set as ONE job
     # (broadcast query-terms join + window top-k per query)
@@ -323,13 +331,40 @@ def _dd_exact_prefix(spark, sf) -> DataFrame:
 _BLOCK_CACHE: dict[str, object] = {}
 
 
-def _ft_block_and2(spark, sf) -> DataFrame:
+def _block_engine(spark, sf, with_labels: bool = False):
     from riot_spark.blocks import BlockSearchEngine, blocked_from_index
 
-    if sf not in _BLOCK_CACHE:
-        _BLOCK_CACHE[sf] = blocked_from_index(get_index(spark, sf), doc_block_bits=6)
-    eng = BlockSearchEngine(_BLOCK_CACHE[sf])
+    key = (sf, with_labels)
+    if key not in _BLOCK_CACHE:
+        _BLOCK_CACHE[key] = blocked_from_index(
+            get_index(spark, sf, with_labels), doc_block_bits=6
+        )
+    return BlockSearchEngine(_BLOCK_CACHE[key])
+
+
+def _ft_block_and2(spark, sf) -> DataFrame:
+    eng = _block_engine(spark, sf)
     return eng.search_and(["data", "query"]).select("doc_id").orderBy("doc_id")
+
+
+def _ft_block_proximity2(spark, sf) -> DataFrame:
+    eng = _block_engine(spark, sf)
+    res = eng.search_and(["data", "query"], proximity=True)
+    return res.select("doc_id", "proximity").orderBy("doc_id")
+
+
+def _ft_block_logic(spark, sf) -> DataFrame:
+    eng = _block_engine(spark, sf)
+    res = eng.search_logic(
+        must=["data"], should=["query", "spark"], not_in=["dup"]
+    )
+    return res.select("doc_id").orderBy("doc_id")
+
+
+def _ft_block_labels(spark, sf) -> DataFrame:
+    eng = _block_engine(spark, sf, with_labels=True)
+    res = eng.search_and(["data"], labels=["src3"])
+    return res.select("doc_id").orderBy("doc_id")
 
 
 # The batch fixture: a small reference query set ([qid, terms, k,
@@ -739,6 +774,20 @@ WITH {_TOKS_CTE}
 SELECT doc_id FROM tf WHERE term IN ('data','query')
 GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id
 """
+    # (ft_block_proximity2 oracle = ft_proximity2's SQL, assigned below)
+    o["ft_block_logic"] = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id FROM tf WHERE term = 'data'
+  AND doc_id IN (SELECT doc_id FROM tf WHERE term IN ('query','spark'))
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'dup')
+GROUP BY doc_id ORDER BY doc_id
+"""
+    o["ft_block_labels"] = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id FROM tf WHERE term = 'data'
+  AND doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3')
+GROUP BY doc_id ORDER BY doc_id
+"""
     o["ft_batch_topk"] = f"""
 WITH {_TOKS_CTE}
 {" UNION ALL ".join(_bm25_rank_sql(qid, terms, k, off) for qid, terms, k, off in BATCH_QUERIES)}
@@ -782,6 +831,7 @@ SELECT pa.doc_id AS doc_id,
 FROM pa JOIN pb ON pa.doc_id = pb.doc_id
 GROUP BY pa.doc_id ORDER BY doc_id
 """
+    o["ft_block_proximity2"] = o["ft_proximity2"]
     o["ft_reverse_order"] = _bm25_sql(["data", "query"]).replace(
         "ORDER BY score DESC, doc_id ASC", "ORDER BY score ASC, doc_id DESC"
     ) + " LIMIT 10"

@@ -14,7 +14,7 @@ from riot_spark.blocks import (
 )
 from riot_spark.build import build_index
 from riot_spark.codec import delta_decode, unpack_ints_as_floats
-from riot_spark.config import EngineConfig, FREQUENCIES_INDEX
+from riot_spark.config import EngineConfig, FREQUENCIES_INDEX, LOCS_INDEX
 from riot_spark.oracle import BM25Params, bm25_score_f32, bm25_score_f32_vec
 from riot_spark.query import SearchEngine, SearchRequest
 from riot_spark.sources.corpus import load_documents
@@ -143,6 +143,83 @@ def test_wand_topk_exact(bindex, toks, k):
         np.array([r["score"] for r in pruned], dtype=np.float32),
         np.array([r["score"] for r in full], dtype=np.float32),
     )
+
+
+@pytest.fixture(scope="module")
+def locs_sf_index(spark):
+    docs = load_documents(spark, SF_SMOKE)
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    return build_index(docs, cfg)
+
+
+@pytest.fixture(scope="module")
+def locs_bindex(locs_sf_index):
+    return blocked_from_index(locs_sf_index, doc_block_bits=6)
+
+
+@pytest.mark.parametrize(
+    "toks", [["data", "query"], ["join", "filter", "sort"], ["batch"]]
+)
+def test_block_proximity_matches_flat(locs_sf_index, locs_bindex, toks):
+    """Packed-positions proximity DP must equal the flat LocsIndex
+    kernel: same docs, float32 scores, proximity values, snippet locs."""
+    flat = SearchEngine(locs_sf_index).search(
+        SearchRequest(tokens=toks, scorer="float32")
+    ).collect()
+    got = BlockSearchEngine(locs_bindex).search_and(toks, proximity=True).collect()
+    f = {
+        r["doc_id"]: (np.float32(r["score"]), r["proximity"],
+                      list(r["snippet_locs"] or []))
+        for r in flat
+    }
+    g = {
+        r["doc_id"]: (np.float32(r["score"]), r["proximity"],
+                      list(r["snippet_locs"] or []))
+        for r in got
+    }
+    assert f == g
+
+
+def test_block_labels_match_flat(spark):
+    """Label postings packed as is_label block rows: intersection,
+    unscorable guard, and WAND all agree with the flat engine."""
+    docs = load_documents(spark, SF_SMOKE).withColumn(
+        "labels", F.array(F.col("source"))
+    )
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    idx = build_index(docs, cfg, labels_col="labels")
+    bi = blocked_from_index(idx, doc_block_bits=6)
+    flat_eng, block_eng = SearchEngine(idx), BlockSearchEngine(bi)
+    for k in (0, 10):
+        flat = flat_eng.search(
+            SearchRequest(tokens=["data"], labels=["src3"], scorer="float32",
+                          max_outputs=k)
+        ).collect()
+        got = block_eng.search_and(["data"], labels=["src3"], k=k).collect()
+        fs = sorted(
+            ((r["doc_id"], np.float32(r["score"])) for r in flat),
+            key=lambda x: (-x[1], x[0]),
+        )
+        gs = sorted(
+            ((r["doc_id"], np.float32(r["score"])) for r in got),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert fs == gs, k
+
+
+@pytest.mark.parametrize("must,should,notin", [
+    (["data"], ["query", "spark"], []),
+    ([], ["query", "spark"], ["dup"]),
+    ([], [], ["dup"]),
+    (["data"], [], ["query"]),
+    (["data", "zzznope"], [], []),
+])
+def test_block_logic_matches_flat(sf_index, bindex, must, should, notin):
+    flat = SearchEngine(sf_index).search(
+        SearchRequest(must=must, should=should, not_in=notin)
+    ).collect()
+    got = BlockSearchEngine(bindex).search_logic(must, should, notin).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in flat)
 
 
 def test_persisted_postings_pushdown(spark, sf_index, tmp_path):
