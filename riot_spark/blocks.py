@@ -490,21 +490,22 @@ class BlockSearchEngine:
     ) -> DataFrame | None:
         """Block-max WAND, batch-shaped.
 
-        Phase 1 reads ONLY block metadata (no posting bytes decoded):
-        each doc-range group's score upper bound is
+        Phase 1 computes block metadata as a DataFrame (no posting
+        bytes decoded): each doc-range group's score upper bound is
         Σ_t idf_t * norm_max_t, and groups missing a query term are
-        dropped outright (AND prune).  Phase 2 runs the decode kernel
-        over bound-descending chunks of groups, keeping a running
-        top-k; it stops as soon as the kth best actual score strictly
-        exceeds the best unprocessed group's bound — no later group
-        can contribute (scores inside a group never exceed its bound).
-        Exact, differential-tested against the unpruned kernel.
+        dropped outright (AND prune).  Phase 2 walks that bounds table
+        in bound-descending chunks — each chunk is a TakeOrdered
+        (orderBy + limit) over the CACHED metadata, so the driver only
+        ever holds the current chunk, never O(n_blocks) rows; the
+        chunk's +1 peek row supplies the best unprocessed bound for
+        the termination test.  It stops as soon as the kth best actual
+        score exceeds that bound (plus a float32 rounding margin) — no
+        later group can contribute (scores inside a group never exceed
+        its bound).  Exact, differential-tested against the unpruned
+        kernel.
 
-        At web scale the bounds table is a DataFrame and the chunking
-        a bound-ordered iterator; here the per-query group list
-        (|groups| <= n_docs / 2^doc_block_bits) fits on the driver.
-        Returns None to fall back to the unpruned path (k >= corpus
-        or metadata inconclusive).
+        Returns None to fall back to the unpruned path (too few groups
+        for pruning to pay).
         """
         import math as _m
 
@@ -521,7 +522,7 @@ class BlockSearchEngine:
             idf_col = F.when(
                 (F.col("term") == t) & ~F.col("is_label"), F.lit(v)
             ).otherwise(idf_col)
-        meta = (
+        meta_df = (
             matched.groupBy("block_id")
             .agg(
                 F.countDistinct("term").alias("nt"),
@@ -529,54 +530,74 @@ class BlockSearchEngine:
                 F.min("n").alias("cap"),
             )
             .where(F.col("nt") == n_kw)
-            .select("block_id", "bound", "cap")
-            .collect()
+            .select("block_id", "bound")
+            .cache()
         )
         out_schema = "doc_id LONG, score FLOAT"
-        if not meta:
-            return spark.createDataFrame([], out_schema)
-        groups = sorted(meta, key=lambda r: -r["bound"])
-        if len(groups) <= 2:
-            return None  # nothing to prune — single-pass is cheaper
-        best: list[tuple[float, int]] = []  # (-score, doc_id) sorted asc
-        i = 0
-        grow = 1
-        while i < len(groups):
-            # chunk: enough capacity to plausibly fill k; geometric
-            # growth caps the number of refinement jobs at O(log)
-            cap = 0
-            j = i
-            while j < len(groups) and (cap < k * grow or j == i):
-                cap += int(groups[j]["cap"])
-                j += 1
-            grow *= 4
-            chunk_ids = [g["block_id"] for g in groups[i:j]]
-            rows = (
-                matched.where(F.col("block_id").isin(chunk_ids))
-                .groupBy("block_id")
-                .applyInPandas(kernel, out_schema)
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
-                .collect()
+        try:
+            n_groups = meta_df.count()
+            if n_groups == 0:
+                return spark.createDataFrame([], out_schema)
+            if n_groups <= 2:
+                return None  # nothing to prune — single-pass is cheaper
+            best: list[tuple[float, int]] = []  # (-score, doc_id) asc
+            # cursor over (bound desc, block_id asc); ties split cleanly
+            last_bound, last_blk = None, None
+            take, take_max = max(8, min(64, k)), 4096
+            while True:
+                remaining = meta_df
+                if last_bound is not None:
+                    remaining = meta_df.where(
+                        (F.col("bound") < F.lit(last_bound))
+                        | (
+                            (F.col("bound") == F.lit(last_bound))
+                            & (F.col("block_id") > F.lit(last_blk))
+                        )
+                    )
+                # TakeOrdered: the driver holds only this chunk (+1
+                # peek row for the best unprocessed bound)
+                chunk = (
+                    remaining.orderBy(F.desc("bound"), F.asc("block_id"))
+                    .limit(take + 1)
+                    .collect()
+                )
+                if not chunk:
+                    break
+                body, peek = chunk[:take], chunk[take:]
+                chunk_ids = [int(g["block_id"]) for g in body]
+                rows = (
+                    matched.where(F.col("block_id").isin(chunk_ids))
+                    .groupBy("block_id")
+                    .applyInPandas(kernel, out_schema)
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k)
+                    .collect()
+                )
+                best.extend((-float(r["score"]), int(r["doc_id"])) for r in rows)
+                best.sort()
+                best = best[:k]
+                if not peek:
+                    break  # metadata exhausted
+                last_bound = float(body[-1]["bound"])
+                last_blk = int(body[-1]["block_id"])
+                next_bound = float(peek[0]["bound"])
+                take = min(take * 4, take_max)
+                # kth result must beat every remaining bound by a
+                # float32 rounding margin: the kernel accumulates in
+                # float32, so an actual score can exceed its group's
+                # (float64-assembled) bound by a few ulps — without the
+                # epsilon a group holding a true top-k doc could be
+                # pruned inside that sliver.
+                if (
+                    len(best) >= k
+                    and -best[k - 1][0] > next_bound * (1.0 + 1e-6) + 1e-6
+                ):
+                    break
+            return spark.createDataFrame(
+                [(doc_id, -negs) for negs, doc_id in best], out_schema
             )
-            best.extend((-float(r["score"]), int(r["doc_id"])) for r in rows)
-            best.sort()
-            best = best[:k]
-            i = j
-            # kth result must beat every remaining bound by a float32
-            # rounding margin: the kernel accumulates in float32, so an
-            # actual score can exceed its group's (float64-assembled)
-            # bound by a few ulps — without the epsilon a group holding
-            # a true top-k doc could be pruned inside that sliver.
-            if (
-                len(best) >= k
-                and i < len(groups)
-                and -best[k - 1][0] > float(groups[i]["bound"]) * (1.0 + 1e-6) + 1e-6
-            ):
-                break
-        return spark.createDataFrame(
-            [(doc_id, -negs) for negs, doc_id in best], out_schema
-        )
+        finally:
+            meta_df.unpersist()
 
 
 # ------------------------------------------------------- persistence
