@@ -66,11 +66,15 @@ def _engine(spark, sf_dir, with_labels=False) -> SearchEngine:
 
 # Shared tokenization CTEs (canonical tokenizer: lower + split ' ',
 # empty terms dropped; doc_len = distinct terms, SURVEY §2.9.2).
-_TOKS_CTE = """
+# `where` restricts the corpus (e.g. the post-delete snapshot) — the
+# stats CTEs (n, avgdl, df) then reflect the restricted doc set, the
+# same recomputation remove_docs performs.
+def _toks_cte(where: str = "") -> str:
+    return f"""
 toks AS (
   SELECT doc_id, term FROM (
     SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
-    FROM documents
+    FROM documents{where}
   ) WHERE term <> ''
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
@@ -78,6 +82,9 @@ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tf GROUP BY doc_id),
 st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
 """
+
+
+_TOKS_CTE = _toks_cte()
 
 
 def _sql_terms(terms: list[str]) -> str:
@@ -90,10 +97,12 @@ def _bm25_sql(
     offset: int = 0,
     whitelist: list[int] | None = None,
     label_source: str | None = None,
+    corpus_where: str = "",
 ) -> str:
     """AND-intersection BM25 top-k oracle (k1=2, b=0.75,
     idf=log2(N/df+1)); label_source adds a source-label keyword that
-    must match but does not score."""
+    must match but does not score; corpus_where restricts the doc set
+    (stats recompute over the restriction — the delete semantics)."""
     n_kw = len(set(terms))
     wl = ""
     if whitelist is not None:
@@ -107,7 +116,7 @@ def _bm25_sql(
     limit = f" LIMIT {k}" if k else ""
     off = f" OFFSET {offset}" if offset else ""
     return f"""
-WITH {_TOKS_CTE},
+WITH {_toks_cte(corpus_where)},
 cand AS (
   SELECT tf.doc_id AS doc_id,
          sum(log2(st.n/df.df + 1) * tf.tf*(2.0+1.0)
@@ -276,6 +285,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # riot-compat Using=4 tokenizer (T4 prefix-concat quirk,
     # segment.go:40-77): numTokens bookkeeping per doc
     q["compat_using4_len"] = _compat_using4_len
+    # Using=6 adds every forward concatenation w_{i+1}..w_j
+    q["compat_using6_len"] = _compat_using6_len
+    # char-split mode (splitData single-character, segment.go:79-126)
+    q["compat_chars_len"] = _compat_chars_len
+
+    # mutation surface (S2 delete / B4 batch delete): remove 50 docs,
+    # re-query — stats (N, avgdl, df) recompute over the survivors and
+    # BM25 scores must match the oracle computed on the filtered corpus
+    q["ft_delete_requery"] = _ft_delete_requery
 
     # multimodal plumbing: binary payload + typed meta, fake decode
     q["mm_image_features"] = _mm_image_features
@@ -491,6 +509,42 @@ def _compat_using4_len(spark, sf) -> DataFrame:
     return toks.groupBy("doc_id").agg(
         F.first("token_len").cast("long").alias("num_tokens")
     )
+
+
+def _compat_using6_len(spark, sf) -> DataFrame:
+    from riot_spark.compat import tokenize_compat
+
+    toks = tokenize_compat(load_documents(spark, sf), using=6)
+    return toks.groupBy("doc_id").agg(
+        F.first("token_len").cast("long").alias("num_tokens")
+    )
+
+
+def _compat_chars_len(spark, sf) -> DataFrame:
+    from riot_spark.compat import tokenize_compat
+
+    toks = tokenize_compat(load_documents(spark, sf), using=1)
+    return toks.groupBy("doc_id").agg(
+        F.first("token_len").cast("long").alias("num_tokens")
+    )
+
+
+# every 3rd doc below 150 — a 50-doc tombstone set
+DELETE_IDS = list(range(0, 150, 3))
+
+
+def _ft_delete_requery(spark, sf) -> DataFrame:
+    """Delete-then-requery (S2/B4, engine.go:429-463,
+    core/indexer.go:299-366): the functional remove recomputes
+    N/avgdl/df exactly, so scores shift for every surviving doc."""
+    from riot_spark.engine import remove_docs
+
+    idx = remove_docs(get_index(spark, sf), DELETE_IDS)
+    eng = SearchEngine(idx)
+    res = eng.search(
+        SearchRequest(text="data query", max_outputs=20, double_scores=True)
+    )
+    return res.select("doc_id", F.col("score").cast("double").alias("score"))
 
 
 def _ft_criteria_proximity(spark, sf) -> DataFrame:
@@ -873,6 +927,27 @@ SELECT doc_id,
                             x -> x <> '')))::BIGINT AS num_tokens
 FROM documents
 """
+    # Using=6: per word — itself + cumulative prefix + every forward
+    # concatenation => 2n + n(n-1)/2 (no empty segments in the corpus)
+    o["compat_using6_len"] = """
+SELECT doc_id,
+       (2 * n + n * (n - 1) // 2)::BIGINT AS num_tokens
+FROM (SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             x -> x <> '')) AS n
+      FROM documents)
+"""
+    # char mode: every non-space character + its cumulative prefix
+    o["compat_chars_len"] = """
+SELECT doc_id,
+       (2 * length(replace(lower(text), ' ', '')))::BIGINT AS num_tokens
+FROM documents
+"""
+    _del = ", ".join(str(i) for i in DELETE_IDS)
+    o["ft_delete_requery"] = _bm25_sql(
+        ["data", "query"], k=20,
+        corpus_where=f" WHERE doc_id NOT IN ({_del})",
+    )
     # fake decode = md5(payload) bytes tiled over 8x8x3: every channel
     # mean collapses to sum(md5 bytes)/16 (dyadic => exact doubles)
     o["mm_image_features"] = """
