@@ -160,26 +160,61 @@ def with_extracted_text(pages: DataFrame) -> DataFrame:
     return pages.withColumn("text_extracted", _extract("html"))
 
 
-def pages_to_documents(pages: DataFrame) -> DataFrame:
+def pages_to_documents(pages: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Assign dense LONG doc_ids ordered by url (FIXTURES.md §1).
 
-    Uses zipWithIndex-free SQL: row_number over a global url sort.  At
-    10^12 docs a single-window global sort is the wrong tool — the
-    scale path would range-partition urls and offset per-partition
-    counts — but doc-id assignment is a one-time build step and the
-    window is AQE-planned as a range-partitioned sort, not a single
-    task.
+    Scale-safe: range-partition by url + per-partition local sort, then
+    doc_id = (cumulative count of earlier ranges) + local row index.
+    The only driver-side data is one count per partition (O(parts));
+    no global window funnels 10^12 rows through one task.  The
+    partitioned frame is persisted so the count pass and the
+    assignment pass see identical range boundaries (at cluster scale
+    this is the staged parquet of the sorted corpus).
     """
-    from pyspark.sql import Window
+    import numpy as np
 
-    w = Window.orderBy("url")
-    return pages.select(
-        (F.row_number().over(w) - F.lit(1)).cast("long").alias("doc_id"),
-        "url",
-        "warc_ts",
-        "text",
-        "lang",
+    n_parts = n_parts or max(
+        pages.sparkSession.sparkContext.defaultParallelism, 4
     )
+    part = (
+        pages.select("url", "warc_ts", "text", "lang")
+        .repartitionByRange(n_parts, "url")
+        .sortWithinPartitions("url")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in part.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        used: dict[int, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["pid"].iloc[0])  # one pid per physical partition
+            start = offsets[pid] + used.get(pid, 0)
+            used[pid] = used.get(pid, 0) + len(pdf)
+            yield pdf.assign(
+                doc_id=np.arange(start, start + len(pdf), dtype=np.int64)
+            )[["doc_id", "url", "warc_ts", "text", "lang"]]
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)]
+        + [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    return part.mapInPandas(assign, schema=out_schema)
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,3 +46,14 @@ def test_pages_to_documents_dense_ids(spark):
     docs = pages_to_documents(generate_pages(spark, 50))
     ids = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").collect()]
     assert ids == list(range(len(ids)))
+
+
+def test_pages_to_documents_follows_url_order(spark):
+    """Range-partitioned assignment must equal a global url sort, and
+    re-running must yield identical ids (determinism)."""
+    rows = pages_to_documents(generate_pages(spark, 120), n_parts=7).collect()
+    by_id = sorted((r["doc_id"], r["url"]) for r in rows)
+    urls_sorted = sorted(r["url"] for r in rows)
+    assert [u for _, u in by_id] == urls_sorted
+    rows2 = pages_to_documents(generate_pages(spark, 120), n_parts=7).collect()
+    assert sorted((r["doc_id"], r["url"]) for r in rows2) == by_id
