@@ -85,6 +85,89 @@ RESULT_SCHEMA = T.StructType(
 )
 
 
+def _f32_score_pdf(
+    pdf: pd.DataFrame,
+    tok_list: list[str],
+    tok_order: dict[str, int],
+    df_list: list[int],
+    n_kw: int,
+    locs_mode: bool,
+    params,
+    n_docs: int,
+    avgdl: float,
+) -> pd.DataFrame | None:
+    """Vectorized float32 BM25 + proximity over one pandas frame of
+    matched postings (any number of candidate docs).  Shared by the
+    single-query scorer kernel and the batched (keyed) kernel; float32
+    accumulation order matches riot bit-for-bit via
+    :func:`bm25_score_f32_vec` (core/indexer.go:526-546)."""
+    n_tok = len(tok_list)
+    # complete AND matches: doc has all n_kw distinct keywords
+    nuniq = pdf.groupby("doc_id", sort=False)["term"].nunique()
+    full_ids = nuniq.index[nuniq.to_numpy() == n_kw]
+    if len(full_ids) == 0:
+        return None
+    sub = pdf[pdf["doc_id"].isin(full_ids)]
+    # query-token rows only (drop label-keyword terms)
+    ti = sub["term"].map(tok_order)
+    qmask = ti.notna().to_numpy()
+    q = sub[qmask]
+    ti = ti[qmask].astype(np.int64).to_numpy()
+    doc_arr = q["doc_id"].to_numpy(np.int64)
+    docs_u, doc_pos = np.unique(doc_arr, return_inverse=True)
+    nd = len(docs_u)
+    if locs_mode:
+        plen = q["positions"].map(
+            lambda p: 0 if p is None else len(p)
+        ).to_numpy(np.float32)
+        tf_arr = plen
+        bad = q["is_label"].to_numpy(bool) | (plen == 0)
+    else:
+        tf_arr = np.where(
+            q["is_label"].to_numpy(bool),
+            np.float32(0.0),
+            q["tf"].to_numpy(np.float32),
+        )
+        bad = np.zeros(len(q), dtype=bool)
+    # pivot: (doc x token-position) tf matrix; later rows win,
+    # matching the scalar kernel's overwrite order
+    tf_mat = np.zeros((nd, n_tok), dtype=np.float32)
+    tf_mat[doc_pos, ti] = tf_arr
+    unscorable = np.zeros(nd, dtype=bool)
+    if locs_mode:
+        np.logical_or.at(unscorable, doc_pos[bad], True)
+    dl = np.zeros(nd, dtype=np.float32)
+    dl[doc_pos] = q["token_len"].to_numpy(np.float32)
+    scores = bm25_score_f32_vec(
+        [tf_mat[:, i] for i in range(n_tok)],
+        df_list, dl, n_docs, avgdl, params,
+    )
+    prox = np.full(nd, -1, dtype=np.int64)
+    snippets: list[list[int]] = [[] for _ in range(nd)]
+    if locs_mode:
+        scores = np.where(unscorable, np.float32(0.0), scores)
+        # proximity DP per scorable candidate — O(total positions)
+        # each, batched through one row scan
+        pos_by_doc: dict[int, list] = {}
+        for j, (d, p) in enumerate(zip(doc_pos, q["positions"])):
+            if not unscorable[d]:
+                pos_by_doc.setdefault(int(d), [None] * n_tok)[
+                    ti[j]
+                ] = list(p) if p is not None else []
+        for d, poss in pos_by_doc.items():
+            poss = [p if p is not None else [] for p in poss]
+            prox[d], snippets[d] = token_proximity(poss, tok_list)
+    return pd.DataFrame(
+        {
+            "doc_id": docs_u,
+            "score": scores,
+            "proximity": prox.astype(np.int32),
+            "snippet_locs": snippets,
+        },
+        columns=["doc_id", "score", "proximity", "snippet_locs"],
+    )
+
+
 class SearchEngine:
     """Batch search over a built :class:`riot_spark.build.Index`."""
 
@@ -229,79 +312,16 @@ class SearchEngine:
         idx = self.index
         params = idx.config.bm25
         n_docs, avgdl = idx.n_docs, idx.avgdl
-        index_type = idx.config.index_type
-        locs_mode = index_type == LOCS_INDEX
+        locs_mode = idx.config.index_type == LOCS_INDEX
         dfs = idx.lookup_terms(list(set(tokens)))
         tok_order = {t: i for i, t in enumerate(tokens)}
         tok_list = list(tokens)
         df_list = [dfs.get(t, 0) for t in tokens]
-        n_tok = len(tok_list)
-        out_cols = ["doc_id", "score", "proximity", "snippet_locs"]
 
         def flush(pdf: pd.DataFrame) -> pd.DataFrame | None:
-            # complete AND matches: doc has all n_kw distinct keywords
-            nuniq = pdf.groupby("doc_id", sort=False)["term"].nunique()
-            full_ids = nuniq.index[nuniq.to_numpy() == n_kw]
-            if len(full_ids) == 0:
-                return None
-            sub = pdf[pdf["doc_id"].isin(full_ids)]
-            # query-token rows only (drop label-keyword terms)
-            ti = sub["term"].map(tok_order)
-            qmask = ti.notna().to_numpy()
-            q = sub[qmask]
-            ti = ti[qmask].astype(np.int64).to_numpy()
-            doc_arr = q["doc_id"].to_numpy(np.int64)
-            docs_u, doc_pos = np.unique(doc_arr, return_inverse=True)
-            nd = len(docs_u)
-            if locs_mode:
-                plen = q["positions"].map(
-                    lambda p: 0 if p is None else len(p)
-                ).to_numpy(np.float32)
-                tf_arr = plen
-                bad = q["is_label"].to_numpy(bool) | (plen == 0)
-            else:
-                tf_arr = np.where(
-                    q["is_label"].to_numpy(bool),
-                    np.float32(0.0),
-                    q["tf"].to_numpy(np.float32),
-                )
-                bad = np.zeros(len(q), dtype=bool)
-            # pivot: (doc x token-position) tf matrix; later rows win,
-            # matching the scalar kernel's overwrite order
-            tf_mat = np.zeros((nd, n_tok), dtype=np.float32)
-            tf_mat[doc_pos, ti] = tf_arr
-            unscorable = np.zeros(nd, dtype=bool)
-            if locs_mode:
-                np.logical_or.at(unscorable, doc_pos[bad], True)
-            dl = np.zeros(nd, dtype=np.float32)
-            dl[doc_pos] = q["token_len"].to_numpy(np.float32)
-            scores = bm25_score_f32_vec(
-                [tf_mat[:, i] for i in range(n_tok)],
-                df_list, dl, n_docs, avgdl, params,
-            )
-            prox = np.full(nd, -1, dtype=np.int64)
-            snippets: list[list[int]] = [[] for _ in range(nd)]
-            if locs_mode:
-                scores = np.where(unscorable, np.float32(0.0), scores)
-                # proximity DP per scorable candidate — O(total
-                # positions) each, batched through one row scan
-                pos_by_doc: dict[int, list] = {}
-                for j, (d, p) in enumerate(zip(doc_pos, q["positions"])):
-                    if not unscorable[d]:
-                        pos_by_doc.setdefault(int(d), [None] * n_tok)[
-                            ti[j]
-                        ] = list(p) if p is not None else []
-                for d, poss in pos_by_doc.items():
-                    poss = [p if p is not None else [] for p in poss]
-                    prox[d], snippets[d] = token_proximity(poss, tok_list)
-            return pd.DataFrame(
-                {
-                    "doc_id": docs_u,
-                    "score": scores,
-                    "proximity": prox.astype(np.int32),
-                    "snippet_locs": snippets,
-                },
-                columns=out_cols,
+            return _f32_score_pdf(
+                pdf, tok_list, tok_order, df_list, n_kw,
+                locs_mode, params, n_docs, avgdl,
             )
 
         need = ["doc_id", "term", "tf", "positions", "token_len", "is_label"]
@@ -545,13 +565,23 @@ class SearchEngine:
         this is the engine's QPS story at scale, and the batch path the
         bench reports.
 
-        Only the hot configuration is batched (AND intersection +
-        native BM25 + labels); requests needing proximity, logic, or
-        custom criteria fall back to :meth:`search` per query.
+        Nearly every request shape batches now:
+        * AND + native BM25 (labels, ReverseOrder, DocIds whitelist)
+          — one broadcast-join + hash-agg + window pass
+        * logic must/should/notIn — one role-tagged pass
+        * orderless AND — rides the logic pass as a must-query
+          (rows rank by doc_id with score 0)
+        * float32 / proximity / criteria='proximity' — ONE keyed Arrow
+          kernel pass over all such queries
+        * CountDocsOnly — one aggregate pass; emitted as a single row
+          per query with doc_id = NULL, score = match count, rank = 0
+        Only callable criteria and a few rare combinations (e.g.
+        whitelist+orderless) fall back to per-query :meth:`search`
+        subtrees (still one action).
 
         Returns (query_id, doc_id, score, rank) with rank 1-based per
-        query in `score desc, doc_id asc` order, sliced per-request
-        [offset, offset+max_outputs).
+        query in `score desc, doc_id asc` order (inverted under
+        ReverseOrder), sliced per-request [offset, offset+max_outputs).
         """
         from pyspark.sql.window import Window
 
@@ -561,22 +591,43 @@ class SearchEngine:
 
         batchable: dict[str, SearchRequest] = {}
         logic_batch: dict[str, SearchRequest] = {}
+        f32_batch: dict[str, SearchRequest] = {}
+        count_batch: dict[str, SearchRequest] = {}
         fallback: dict[str, SearchRequest] = {}
         for qid, req in requests.items():
-            plain_opts = (
-                not req.count_docs_only
-                and not req.orderless
+            is_logic = bool(req.must or req.should or req.not_in)
+            plain = not req.count_docs_only and not req.orderless
+            if not is_logic:
+                if req.count_docs_only and req.doc_ids is None:
+                    count_batch[qid] = req
+                elif (
+                    req.orderless
+                    and req.doc_ids is None
+                    and not req.count_docs_only
+                ):
+                    # orderless AND == logic must-query over keywords
+                    logic_batch[qid] = SearchRequest(
+                        must=req.all_tokens() + list(req.labels),
+                        offset=req.offset,
+                        max_outputs=req.max_outputs,
+                    )
+                elif plain and req.scorer == "native" and req.criteria == "bm25":
+                    batchable[qid] = req
+                elif (
+                    plain
+                    and req.scorer == "float32"
+                    and req.criteria in ("bm25", "proximity")
+                    and req.doc_ids is None
+                ):
+                    f32_batch[qid] = req
+                else:
+                    fallback[qid] = req
+            elif (
+                plain
                 and not req.reverse_order
                 and req.doc_ids is None
                 and req.criteria == "bm25"
-            )
-            if (
-                not (req.must or req.should or req.not_in)
-                and plain_opts
-                and req.scorer == "native"
             ):
-                batchable[qid] = req
-            elif (req.must or req.should or req.not_in) and plain_opts:
                 logic_batch[qid] = req
             else:
                 fallback[qid] = req
@@ -589,13 +640,16 @@ class SearchEngine:
             for req in batchable.values():
                 all_terms |= set(req.all_tokens()) | set(req.labels)
             dfs = idx.lookup_terms(list(all_terms))
-            rows = []  # (query_id, term, idf, is_scoring, n_kw, k, offset)
+            rows = []
+            wl_rows = []  # (query_id, doc_id) whitelist entries (Q3)
             for qid, req in batchable.items():
                 tokens = req.all_tokens()
                 keywords = set(tokens) | set(req.labels)
                 if any(t not in dfs for t in keywords):
                     continue  # missing keyword => empty (indexer.go:423-427)
                 n_kw = len(keywords)
+                if req.doc_ids is not None:
+                    wl_rows.extend((qid, int(d)) for d in set(req.doc_ids))
                 for t in keywords:
                     idf = (
                         math.log2(idx.n_docs / dfs[t] + 1.0)
@@ -611,13 +665,16 @@ class SearchEngine:
                             n_kw,
                             int(req.max_outputs),
                             int(req.offset),
+                            bool(req.reverse_order),
+                            req.doc_ids is not None,
                         )
                     )
             if rows:
                 qterms = spark.createDataFrame(
                     rows,
                     "query_id STRING, term STRING, idf DOUBLE, "
-                    "is_scoring BOOLEAN, n_kw INT, k INT, qoffset INT",
+                    "is_scoring BOOLEAN, n_kw INT, k INT, qoffset INT, "
+                    "rev BOOLEAN, has_wl BOOLEAN",
                 )
                 tf = F.col("tf").cast("double")
                 dl = F.col("token_len").cast("double")
@@ -637,6 +694,16 @@ class SearchEngine:
                 matched = idx.postings.where(
                     F.col("term").isin(list(all_terms))
                 ).join(F.broadcast(qterms), "term")
+                if wl_rows:
+                    # DocIds whitelist (Q3): broadcast (query, doc)
+                    # membership — only whitelisted rows survive for
+                    # queries that carry one
+                    wl = spark.createDataFrame(
+                        wl_rows, "query_id STRING, doc_id LONG"
+                    ).withColumn("in_wl", F.lit(True))
+                    matched = matched.join(
+                        F.broadcast(wl), ["query_id", "doc_id"], "left"
+                    ).where(~F.col("has_wl") | F.coalesce("in_wl", F.lit(False)))
                 # partial-locations guard (indexer.go:489-507), same as
                 # _score_native: under LocsIndex a scoring query token
                 # whose posting is a label (or has no positions) zeroes
@@ -665,6 +732,7 @@ class SearchEngine:
                         F.first("n_kw").alias("n_kw"),
                         F.first("k").alias("k"),
                         F.first("qoffset").alias("qoffset"),
+                        F.first("rev").alias("rev"),
                         F.sum(contrib).alias("score_d"),
                         unscorable.alias("unscorable"),
                     )
@@ -681,8 +749,13 @@ class SearchEngine:
                     if double_scores
                     else F.col("score_d").cast("float")
                 )
+                # one window serves both sort directions: multiplying
+                # (score, doc_id) by dir = -1 inverts the ordering for
+                # ReverseOrder queries without a second sort
+                dir_col = F.when(F.col("rev"), F.lit(-1.0)).otherwise(F.lit(1.0))
                 w = Window.partitionBy("query_id").orderBy(
-                    F.desc("score"), F.asc("doc_id")
+                    F.desc(F.col("score") * F.col("dir")),
+                    F.asc(F.col("doc_id") * F.col("dir")),
                 )
                 ranked = (
                     scored.select(
@@ -691,6 +764,7 @@ class SearchEngine:
                         score_col.alias("score"),
                         "k",
                         "qoffset",
+                        dir_col.alias("dir"),
                     )
                     .withColumn("rank", F.row_number().over(w))
                     .where(
@@ -704,15 +778,27 @@ class SearchEngine:
                 )
                 parts_df.append(ranked)
 
+        if f32_batch:
+            ranked = self._f32_batch_exec(f32_batch, double_scores)
+            if ranked is not None:
+                parts_df.append(ranked)
+
+        if count_batch:
+            counted = self._count_batch_exec(count_batch, double_scores)
+            if counted is not None:
+                parts_df.append(counted)
+
         if logic_batch:
             ranked = self._logic_batch(logic_batch)
             if ranked is not None:
                 parts_df.append(ranked)
 
         for qid, req in fallback.items():
+            if req.count_docs_only or req.orderless:
+                continue  # rare fallback combos keep the legacy drop
             r = self.search(req)
-            if req.count_docs_only or set(r.columns) == {"doc_id"}:
-                continue  # count/orderless shapes don't union into ranked
+            if set(r.columns) == {"doc_id"}:
+                continue
             parts_df.append(
                 r.select(
                     F.lit(qid).alias("query_id"),
@@ -741,6 +827,209 @@ class SearchEngine:
         out = parts_df[0]
         for d in parts_df[1:]:
             out = out.unionByName(d)
+        return out
+
+    def _f32_batch_exec(
+        self, requests: dict[str, SearchRequest], double_scores: bool = False
+    ) -> DataFrame | None:
+        """All float32 / proximity / criteria='proximity' queries as
+        ONE keyed Arrow kernel pass.
+
+        Postings join a broadcast (query_id, term) table, repartition
+        on (query_id, doc_id) with a local sort, and a single
+        mapInPandas kernel scores each query's candidates via the
+        shared `_f32_score_pdf` (bit-exact float32 + proximity DP).
+        Proximity criteria then rewrites scores columnar, and one
+        window ranks + slices every query.
+        """
+        from pyspark.sql.window import Window
+
+        idx = self.index
+        spark = self._spark()
+        params = idx.config.bm25
+        n_docs, avgdl = idx.n_docs, idx.avgdl
+        locs_mode = idx.config.index_type == LOCS_INDEX
+
+        all_kw: set[str] = set()
+        for req in requests.values():
+            all_kw |= set(req.all_tokens()) | set(req.labels)
+        dfs = idx.lookup_terms(list(all_kw))
+        qinfo: dict[str, tuple] = {}
+        rows = []
+        meta_rows = []  # (query_id, k, qoffset, rev, prox_crit)
+        for qid, req in requests.items():
+            tokens = req.all_tokens()
+            keywords = set(tokens) | set(req.labels)
+            if not keywords or any(t not in dfs for t in keywords):
+                continue  # missing keyword => empty
+            tok_order = {t: i for i, t in enumerate(tokens)}
+            df_list = [dfs.get(t, 0) for t in tokens]
+            qinfo[qid] = (list(tokens), tok_order, df_list, len(keywords))
+            rows.extend((qid, t) for t in keywords)
+            meta_rows.append(
+                (
+                    qid,
+                    int(req.max_outputs),
+                    int(req.offset),
+                    bool(req.reverse_order),
+                    req.criteria == "proximity",
+                )
+            )
+        if not rows:
+            return None
+        qterms = spark.createDataFrame(rows, "query_id STRING, term STRING")
+        matched = idx.postings.where(
+            F.col("term").isin(sorted({t for _, t in rows}))
+        ).join(F.broadcast(qterms), "term")
+        need = [
+            "query_id", "doc_id", "term", "tf", "positions",
+            "token_len", "is_label",
+        ]
+        out_schema = (
+            "query_id STRING, doc_id LONG, score FLOAT, proximity INT, "
+            "snippet_locs ARRAY<INT>"
+        )
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def run(body: pd.DataFrame) -> Iterator[pd.DataFrame]:
+                for qid, sub in body.groupby("query_id", sort=False):
+                    info = qinfo.get(qid)
+                    if info is None:
+                        continue
+                    tok_list, tok_order, df_list, n_kw = info
+                    out = _f32_score_pdf(
+                        sub, tok_list, tok_order, df_list, n_kw,
+                        locs_mode, params, n_docs, avgdl,
+                    )
+                    if out is not None:
+                        out.insert(0, "query_id", qid)
+                        yield out
+
+            held: pd.DataFrame | None = None
+            for pdf in batches:
+                pdf = pdf[need]
+                if held is not None:
+                    pdf = pd.concat([held, pdf], ignore_index=True)
+                tail_q = pdf["query_id"].iloc[-1]
+                tail_d = pdf["doc_id"].iloc[-1]
+                tail_mask = (
+                    (pdf["query_id"] == tail_q) & (pdf["doc_id"] == tail_d)
+                ).to_numpy()
+                held = pdf[tail_mask]
+                body = pdf[~tail_mask]
+                if len(body):
+                    yield from run(body)
+            if held is not None and len(held):
+                yield from run(held)
+
+        nparts = getattr(idx.config, "query_agg_partitions", 0)
+        part = (
+            matched.repartition(nparts, "query_id", "doc_id")
+            if nparts
+            else matched.repartition("query_id", "doc_id")
+        ).sortWithinPartitions("query_id", "doc_id")
+        res = part.mapInPandas(kernel, out_schema)
+
+        meta = spark.createDataFrame(
+            meta_rows,
+            "query_id STRING, k INT, qoffset INT, rev BOOLEAN, prox BOOLEAN",
+        )
+        res = res.join(F.broadcast(meta), "query_id")
+        # RankByTokenProximity criteria: score = 1/(proximity+1)
+        score = F.when(
+            F.col("prox"),
+            F.when(
+                F.col("proximity") >= 0,
+                (F.lit(1.0) / (F.col("proximity") + 1.0)).cast("float"),
+            ).otherwise(F.lit(0.0).cast("float")),
+        ).otherwise(F.col("score"))
+        score = (
+            F.round(score.cast("double"), 4) if double_scores else score
+        )
+        dir_col = F.when(F.col("rev"), F.lit(-1.0)).otherwise(F.lit(1.0))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.col("score") * F.col("dir")),
+            F.asc(F.col("doc_id") * F.col("dir")),
+        )
+        return (
+            res.select(
+                "query_id", "doc_id", score.alias("score"),
+                "k", "qoffset", dir_col.alias("dir"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(
+                (F.col("rank") > F.col("qoffset"))
+                & (
+                    (F.col("k") == 0)
+                    | (F.col("rank") <= F.col("qoffset") + F.col("k"))
+                )
+            )
+            .select("query_id", "doc_id", "score", "rank")
+        )
+
+    def _count_batch_exec(
+        self, requests: dict[str, SearchRequest], double_scores: bool = False
+    ) -> DataFrame | None:
+        """All CountDocsOnly AND-queries as one aggregate pass.
+
+        Emitted into the ranked shape as one row per query:
+        (query_id, doc_id = NULL, score = match count, rank = 0) —
+        riot's SearchResp.NumDocs (core/indexer.go:550-553)."""
+        idx = self.index
+        spark = self._spark()
+        all_kw: set[str] = set()
+        for req in requests.values():
+            all_kw |= set(req.all_tokens()) | set(req.labels)
+        dfs = idx.lookup_terms(list(all_kw))
+        rows = []
+        zero_qids = []
+        for qid, req in requests.items():
+            keywords = set(req.all_tokens()) | set(req.labels)
+            if not keywords or any(t not in dfs for t in keywords):
+                zero_qids.append(qid)  # missing keyword => count 0
+                continue
+            rows.extend((qid, t, len(keywords)) for t in keywords)
+        score_t = "DOUBLE" if double_scores else "FLOAT"
+        out = None
+        if rows:
+            qterms = spark.createDataFrame(
+                rows, "query_id STRING, term STRING, n_kw INT"
+            )
+            matched = idx.postings.where(
+                F.col("term").isin(sorted({r[1] for r in rows}))
+            ).join(F.broadcast(qterms), "term")
+            counts = (
+                self._qpart(matched, "query_id", "doc_id")
+                .groupBy("query_id", "doc_id")
+                .agg(self._n_match().alias("nm"), F.first("n_kw").alias("n_kw"))
+                .where(F.col("nm") == F.col("n_kw"))
+                .groupBy("query_id")
+                .agg(F.count("*").alias("cnt"))
+            )
+            # queries whose intersection is empty still get a 0 row
+            all_qids = spark.createDataFrame(
+                [(q,) for q in requests if q not in zero_qids],
+                "query_id STRING",
+            )
+            out = (
+                all_qids.join(counts, "query_id", "left")
+                .select(
+                    "query_id",
+                    F.lit(None).cast("long").alias("doc_id"),
+                    F.coalesce("cnt", F.lit(0)).cast(score_t).alias("score"),
+                    F.lit(0).alias("rank"),
+                )
+            )
+        if zero_qids:
+            zeros = spark.createDataFrame(
+                [(q,) for q in zero_qids], "query_id STRING"
+            ).select(
+                "query_id",
+                F.lit(None).cast("long").alias("doc_id"),
+                F.lit(0).cast(score_t).alias("score"),
+                F.lit(0).alias("rank"),
+            )
+            out = zeros if out is None else out.unionByName(zeros)
         return out
 
     def _logic_batch(self, requests: dict[str, SearchRequest]) -> DataFrame | None:

@@ -287,6 +287,68 @@ def test_freq_index_mode(spark):
         assert int(res[0]["score"] * 10000) == 76055, scorer
 
 
+def test_search_batch_mixed_shapes(spark):
+    """A mixed batch — native AND, ReverseOrder, whitelist, float32,
+    proximity criteria, orderless, count, logic — must agree with
+    per-query search() on every returned row."""
+    from riot_spark.sources.corpus import load_documents
+    from riot_spark.build import build_index
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE)
+    idx = build_index(docs, EngineConfig(index_type=LOCS_INDEX,
+                                         num_index_partitions=8))
+    eng = SearchEngine(idx)
+    reqs = {
+        "and1": SearchRequest(text="data query", max_outputs=10),
+        "and2": SearchRequest(text="batch", max_outputs=5, offset=3),
+        "rev": SearchRequest(text="data query", max_outputs=10,
+                             reverse_order=True),
+        "wl": SearchRequest(text="data", doc_ids=list(range(0, 100, 2)),
+                            max_outputs=10),
+        "f32": SearchRequest(tokens=["data", "query"], scorer="float32",
+                             max_outputs=10),
+        "crit": SearchRequest(tokens=["data", "query"], scorer="float32",
+                              criteria="proximity", max_outputs=10),
+        "orderless": SearchRequest(text="group order", orderless=True),
+        "count": SearchRequest(text="data query", count_docs_only=True),
+        "logic": SearchRequest(must=["data"], should=["query", "spark"],
+                               not_in=["dup"]),
+        "missing": SearchRequest(text="data zzzqx", max_outputs=10),
+    }
+    batch = eng.search_batch(reqs).collect()
+    by_qid: dict[str, list] = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    assert "missing" not in by_qid
+
+    # ranked shapes: doc order and scores must match search()
+    for qid in ("and1", "and2", "rev", "wl", "f32", "crit"):
+        single = eng.search(reqs[qid]).collect()
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in single], qid
+        np.testing.assert_allclose(
+            [r["score"] for r in got], [r["score"] for r in single],
+            rtol=1e-5, atol=1e-6, err_msg=qid,
+        )
+    # orderless: same candidate set, ranked by doc_id
+    single = eng.search(reqs["orderless"]).collect()
+    got = by_qid["orderless"]
+    assert sorted(r["doc_id"] for r in got) == sorted(
+        r["doc_id"] for r in single
+    )
+    # count: one row, score == num_docs, doc_id NULL
+    n = eng.search(reqs["count"]).collect()[0]["num_docs"]
+    crow = by_qid["count"]
+    assert len(crow) == 1 and crow[0]["doc_id"] is None
+    assert int(crow[0]["score"]) == n and crow[0]["rank"] == 0
+    # logic: same doc set
+    single = eng.search(reqs["logic"]).collect()
+    assert sorted(r["doc_id"] for r in by_qid["logic"]) == sorted(
+        r["doc_id"] for r in single
+    )
+
+
 def test_search_batch_matches_per_query(spark):
     """search_batch (one job, window top-k) must agree with per-query
     search() on docs, scores, and order for every batchable request."""
