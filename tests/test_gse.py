@@ -1,0 +1,115 @@
+"""Dict-DAG segmentation parity: the reference's own e2e corpus driven
+from RAW text through MiniGse (testdata/test_dict.txt), reproducing
+engine_test.go:36-61 (TestEngineIndexDoc) end to end — previously the
+token streams were hand-transcribed.
+
+The BM25 goldens of TestFrequenciesIndex are NOT reproduced here: riot
+computes N/avgdl/df per shard (8 by default, core/indexer.go:445), so
+those scores embed the murmur3 doc->shard layout; parity is defined at
+NumShards=1 (SURVEY.md §2.9.4).  The proximity goldens are
+shard-independent and transcribed exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from riot_spark.config import EngineConfig, LOCS_INDEX
+from riot_spark.oracle import OracleIndex
+
+DICT = "/root/reference/testdata/test_dict.txt"
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(DICT), reason="reference test dict not present"
+)
+
+# test_utils.go:103-137 AddDocs corpus (raw content)
+E2E_CONTENT = {
+    1: "The world, 有七十亿人口人口",
+    2: "The world, 人口",
+    3: "The world",
+    4: "有人口",
+    5: "The world, 七十亿人口",
+    6: "有七十亿人口",
+}
+
+# engine_test.go:36-61: query "World人口" -> tokens [world, 人口],
+# proximity criteria 1/(prox+1): (doc, int(score*1000), snippet locs)
+E2E_GOLDEN = [(2, 333, [4, 11]), (5, 83, [4, 20]), (1, 66, [4, 23])]
+
+
+@pytest.fixture(scope="module")
+def gse():
+    from riot_spark.gse import MiniGse
+
+    return MiniGse(DICT)
+
+
+def test_segment_streams(gse):
+    """Byte-exact segment streams for the 6-doc corpus."""
+    assert gse.tokenize(E2E_CONTENT[1]) == (
+        [("the", [0]), ("world", [4]), (",", [9]), ("有", [11]),
+         ("七十亿", [14]), ("人口", [23, 29])],
+        7,
+    )
+    assert gse.tokenize(E2E_CONTENT[4]) == ([("有", [0]), ("人口", [3])], 2)
+    assert gse.tokenize(E2E_CONTENT[6]) == (
+        [("有", [0]), ("七十亿", [3]), ("人口", [12])], 3
+    )
+    # query path (engine.go:500-525, lowercased then segmented)
+    assert gse.segment("World人口".lower()) == [("world", 0), ("人口", 5)]
+
+
+def test_e2e_golden_python_oracle(gse):
+    idx = OracleIndex(index_type=LOCS_INDEX)
+    for doc_id, content in E2E_CONTENT.items():
+        toks, num = gse.tokenize(content)
+        idx.add_doc(doc_id, tokens=toks, token_len=float(num))
+    docs = idx.lookup(["world", "人口"])
+    ranked = sorted(
+        (
+            (r["doc_id"], int(1000.0 / (r["proximity"] + 1)), r["snippet_locs"])
+            for r in docs
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert ranked == E2E_GOLDEN
+
+
+def test_e2e_golden_spark(spark, gse):
+    """The same golden through the Spark engine: raw text -> MiniGse
+    streams -> index -> proximity-criteria ranking."""
+    import numpy as np
+
+    from riot_spark.build import build_index_from_tokens
+    from riot_spark.query import SearchEngine, SearchRequest
+
+    rows = []
+    lens = []
+    for doc_id, content in E2E_CONTENT.items():
+        toks, num = gse.tokenize(content)
+        rows.extend(
+            (doc_id, t, float(len(p)), list(p)) for t, p in toks
+        )
+        lens.append((doc_id, float(num)))
+    toks_df = spark.createDataFrame(
+        rows, "doc_id LONG, term STRING, tf FLOAT, positions ARRAY<INT>"
+    )
+    doc_stats = spark.createDataFrame(lens, "doc_id LONG, token_len FLOAT")
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=4)
+    idx = build_index_from_tokens(
+        toks_df, cfg, doc_stats=doc_stats, unique_postings=True
+    )
+    res = SearchEngine(idx).search(
+        SearchRequest(
+            tokens=["world", "人口"], scorer="float32", criteria="proximity",
+            max_outputs=10,
+        )
+    ).collect()
+    got = [
+        (r["doc_id"], int(np.float32(r["score"]) * 1000),
+         list(r["snippet_locs"]))
+        for r in res
+    ]
+    assert got == E2E_GOLDEN

@@ -130,7 +130,7 @@ def test_missing_keyword_short_circuit():
 
 E2E_DOCS = {
     1: [("the", [0]), ("world", [4]), (",", [9]), ("有", [11]),
-        ("七十亿", [14]), ("人口", [23, 26])],
+        ("七十亿", [14]), ("人口", [23, 29])],  # 人口 = 6 UTF-8 bytes
     2: [("the", [0]), ("world", [4]), (",", [9]), ("人口", [11])],
     3: [("the", [0]), ("world", [4])],
     4: [("有", [0]), ("人口", [3])],
