@@ -24,7 +24,10 @@ BPE_ISH_PATTERN = "[a-z0-9]+|[^a-z0-9\\s]"
 
 
 def _words(text_col: str = "text") -> Column:
-    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    # array_remove, not a filter() lambda: higher-order functions run
+    # interpreted (no whole-stage codegen) — measured ~10x slower on
+    # the build path (tokenizer.py note)
+    return F.array_remove(F.split(F.lower(F.col(text_col)), " "), "")
 
 
 def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -45,26 +48,36 @@ def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + a composite score in [0,1].
 
     Features mirror the usual web-text filters (length, stopword ratio,
-    lexical diversity, mean word length); fully columnar.
+    lexical diversity, mean word length).  Shape: explode + one hash
+    aggregate — every expression stays inside whole-stage codegen (the
+    earlier filter()/aggregate() lambdas executed interpreted, ~10x
+    slower on the hot 100 TB text-filter pass); the doc_id shuffle is
+    the same one the index build sustains at millions of rows/s.
     """
-    w = _words(text_col)
-    n = F.size(w).cast("double")
-    stop_hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS))).cast("double")
-    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / F.greatest(
-        n, F.lit(1.0)
+    base = documents.select(
+        "doc_id", F.explode_outer(_words(text_col)).alias("word")
     )
-    stop_ratio = stop_hits / F.greatest(n, F.lit(1.0))
-    mean_wlen = (
-        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
-        / F.greatest(n, F.lit(1.0))
+    feat = base.groupBy("doc_id").agg(
+        F.count("word").cast("double").alias("n"),
+        F.sum(
+            F.when(F.col("word").isin(STOPWORDS), 1).otherwise(0)
+        ).cast("double").alias("stop_hits"),
+        F.countDistinct("word").cast("double").alias("n_distinct"),
+        F.coalesce(F.sum(F.length("word")), F.lit(0)).cast("double").alias(
+            "sum_len"
+        ),
     )
+    n = F.col("n")
+    stop_ratio = F.col("stop_hits") / F.greatest(n, F.lit(1.0))
+    distinct_ratio = F.col("n_distinct") / F.greatest(n, F.lit(1.0))
+    mean_wlen = F.col("sum_len") / F.greatest(n, F.lit(1.0))
     length_ok = F.when((n >= 20) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
     wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(1.0)).otherwise(
         F.lit(0.0)
     )
     stop_ok = F.when(stop_ratio >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
     composite = (length_ok + wlen_ok + stop_ok + distinct_ratio) / F.lit(4.0)
-    return documents.select(
+    return feat.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
@@ -87,13 +100,19 @@ LANG_MARKERS = {
 
 def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang) — marker-word voting, deterministic
-    tie-break by language code order (ascending), zero hits => 'en'."""
-    w = _words(text_col)
-    hit_cols = [
-        F.size(F.filter(w, lambda x: x.isin(ms))).alias(f"hits_{lang}")
+    tie-break by language code order (ascending), zero hits => 'en'.
+    Explode + conditional-sum hash aggregate: whole-stage codegen
+    end to end (no interpreted higher-order functions)."""
+    base = documents.select(
+        "doc_id", F.explode_outer(_words(text_col)).alias("word")
+    )
+    hit_aggs = [
+        F.sum(F.when(F.col("word").isin(ms), 1).otherwise(0)).alias(
+            f"hits_{lang}"
+        )
         for lang, ms in sorted(LANG_MARKERS.items())
     ]
-    scored = documents.select("doc_id", *hit_cols)
+    scored = base.groupBy("doc_id").agg(*hit_aggs)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
     pred = F.lit("en")
