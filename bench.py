@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from riot_spark.build import build_index
-from riot_spark.config import EngineConfig, FREQUENCIES_INDEX
+from riot_spark.config import EngineConfig, FREQUENCIES_INDEX, LOCS_INDEX
 from riot_spark.query import SearchEngine, SearchRequest
 from riot_spark.session import get_spark
 from riot_spark.sources.corpus import load_documents
@@ -105,6 +105,51 @@ def main() -> None:
     queries["batch_11q"] = t_batch
     batch_qps = len(batch_reqs) / t_batch
 
+    # -------- LocsIndex surfaces: proximity (vectorized float32
+    # kernel), the packed-block WAND path, and a fully mixed batch
+    lidx = build_index(
+        docs, EngineConfig(index_type=LOCS_INDEX, num_index_partitions=n_parts)
+    )
+    lidx.postings.count()
+    leng = SearchEngine(lidx)
+    queries["q_proximity2"] = timed(
+        lambda: leng.search(
+            SearchRequest(tokens=["data", "query"], scorer="float32")
+        ).collect()
+    )
+    mixed = dict(batch_reqs)
+    for i in range(4):
+        mixed[f"p{i}"] = SearchRequest(
+            tokens=[terms[i], terms[i + 2]], scorer="float32",
+            criteria="proximity", max_outputs=100,
+        )
+    mixed["c1"] = SearchRequest(tokens=["data", "query"], count_docs_only=True)
+    mixed["o1"] = SearchRequest(tokens=["group", "order"], orderless=True)
+    mixed["l1"] = SearchRequest(must=["data"], should=["query", "spark"],
+                                not_in=["dup"])
+    mixed["r1"] = SearchRequest(tokens=["data", "query"], max_outputs=50,
+                                reverse_order=True)
+    mixed["w1"] = SearchRequest(tokens=["data"],
+                                doc_ids=list(range(0, 200, 2)), max_outputs=50)
+
+    def run_mixed():
+        leng.search_batch(mixed).collect()
+
+    t_mixed = timed(run_mixed)
+    queries[f"batch_mixed{len(mixed)}q"] = t_mixed
+
+    from riot_spark.blocks import BlockSearchEngine, blocked_from_index
+
+    bi = blocked_from_index(lidx, doc_block_bits=8)
+    bi.blocks.count()
+    beng = BlockSearchEngine(bi)
+    queries["q_block_topk"] = timed(
+        lambda: beng.search_and(["data", "query"], k=100).collect()
+    )
+    queries["q_block_proximity"] = timed(
+        lambda: beng.search_and(["data", "query"], proximity=True).collect()
+    )
+
     # -------- web-scale-shape build: synthetic Common-Crawl-style pages.
     # The sf corpus is tiny (fixed overhead dominates); this measures
     # sustained posting-entries/s on a corpus big enough to matter.
@@ -152,6 +197,7 @@ def main() -> None:
         "query_p50_s": round(p50, 4),
         "query_p95_s": round(p95, 4),
         "batch_queries_per_sec": round(batch_qps, 2),
+        "mixed_batch_queries_per_sec": round(len(mixed) / t_mixed, 2),
         "pages_build_entries_per_sec": pages_entries_per_sec,
         "cpus": cpus,
     }
