@@ -11,6 +11,19 @@ JSON lines (query_id, doc_id, score, rank) or write to --output.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# allow `python jobs/<job>.py` from a checkout; on a cluster the
+# package arrives via spark-submit --py-files instead
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _repo_root)
+# python workers are separate processes: they see PYTHONPATH, not the
+# driver's sys.path
+os.environ["PYTHONPATH"] = (
+    _repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
+
 import argparse
 import json
 import sys
