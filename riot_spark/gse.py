@@ -78,9 +78,15 @@ class MiniGse:
             (len(_split_elements(w)) for w in freqs), default=1
         )
 
-    def segment(self, text: str) -> list[tuple[str, int]]:
-        """[(token, byte_offset)] — min-distance DP segmentation with
-        whitespace segments dropped."""
+    def segment(
+        self, text: str, keep_whitespace: bool = False
+    ) -> list[tuple[str, int]]:
+        """[(token, byte_offset)] — min-distance DP segmentation.
+
+        ``keep_whitespace=True`` keeps space segments, matching riot's
+        Using=1 accounting where numTokens = len(segments) and (with no
+        stop-token file) ' ' is itself an indexed term
+        (segment.go:154-168)."""
         els = _split_elements(text)
         n = len(els)
         inf = float("inf")
@@ -110,18 +116,25 @@ class MiniGse:
             segs.append((word, els[start][1]))
             i = start
         segs.reverse()
+        if keep_whitespace:
+            return segs
         return [(w, p) for w, p in segs if w.strip()]
 
     def tokenize(
-        self, text: str, stop_tokens: frozenset[str] = frozenset()
+        self,
+        text: str,
+        stop_tokens: frozenset[str] = frozenset(),
+        keep_whitespace: bool = False,
     ) -> tuple[list[tuple[str, list[int]]], int]:
         """riot tokensMap form: ([(term, positions)], num_tokens) —
         positions are byte offsets of every occurrence, num_tokens the
-        segment count after stop/space filtering (segment.go:132-168,
-        makeTokensMap segment.go:210-246)."""
+        segment count after stop filtering (segment.go:132-168,
+        makeTokensMap segment.go:210-246).  keep_whitespace mirrors
+        riot's Using=1 mode, validated by the per-shard BM25 golden
+        (TestFrequenciesIndex: doc TokenLens count space segments)."""
         tmap: dict[str, list[int]] = {}
         num = 0
-        for w, p in self.segment(text):
+        for w, p in self.segment(text, keep_whitespace=keep_whitespace):
             if w in stop_tokens:
                 continue
             num += 1

@@ -77,6 +77,39 @@ def test_e2e_golden_python_oracle(gse):
     assert ranked == E2E_GOLDEN
 
 
+def test_frequencies_index_per_shard_golden(gse):
+    """TestFrequenciesIndex (engine_test.go:181-208): NumShards=8 BM25
+    with PER-SHARD stats (core/indexer.go:445,540).  Emulating the
+    murmur shard layout (docs 1 and 5 co-resident, no other doc in
+    that shard) and Using=1 TokenLens (space segments counted) must
+    reproduce int(score*1000) == 2374 / 2133 bit-exactly."""
+    import numpy as np
+
+    from riot_spark.config import BM25Params, FREQUENCIES_INDEX
+    from riot_spark.shards import shard_of
+
+    shards: dict[int, OracleIndex] = {}
+    for doc_id, content in E2E_CONTENT.items():
+        sh = shard_of(str(doc_id), content, num_shards=8)
+        idx = shards.setdefault(
+            sh, OracleIndex(index_type=FREQUENCIES_INDEX, params=BM25Params())
+        )
+        toks, num = gse.tokenize(content, keep_whitespace=True)
+        idx.add_doc(doc_id, tokens=toks, token_len=float(num))
+    # the one observable layout fact: docs 1 and 5 share a shard alone
+    sh15 = shard_of("1", E2E_CONTENT[1])
+    assert shard_of("5", E2E_CONTENT[5]) == sh15
+    assert sorted(shards[sh15].doc_lens) == [1, 5]
+    assert shards[sh15].doc_lens == {1: 9.0, 5: 7.0}  # space segments count
+    scores: dict[int, int] = {}
+    for idx in shards.values():
+        for r in idx.lookup(["world", "人口"]):
+            scores[r["doc_id"]] = int(np.float32(r["score"]) * 1000)
+    # BM25ScoringCriteria drops docs without ScoringFields (2, 3, 4)
+    assert scores[1] == 2374
+    assert scores[5] == 2133
+
+
 def test_e2e_golden_spark(spark, gse):
     """The same golden through the Spark engine: raw text -> MiniGse
     streams -> index -> proximity-criteria ranking."""
