@@ -295,6 +295,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # BM25 scores must match the oracle computed on the filtered corpus
     q["ft_delete_requery"] = _ft_delete_requery
 
+    # stop-token filter (T7, stop_tokens.go:31-57): stopworded terms
+    # never reach the index; df of survivors is unchanged
+    q["ft_stopworded_df"] = _ft_stopworded_df
+    # snippet locations (Q17): the chosen positions from the proximity
+    # DP backtrack, 2-term query (first minimal pair wins ties)
+    q["ft_snippet2"] = _ft_snippet2
+
     # multimodal plumbing: binary payload + typed meta, fake decode
     q["mm_image_features"] = _mm_image_features
     q["mm_frame_plan"] = _mm_frame_plan
@@ -527,6 +534,36 @@ def _compat_chars_len(spark, sf) -> DataFrame:
     return toks.groupBy("doc_id").agg(
         F.first("token_len").cast("long").alias("num_tokens")
     )
+
+
+STOPWORD_FIXTURE = frozenset({"the", "of", "data"})
+
+
+def _ft_stopworded_df(spark, sf) -> DataFrame:
+    """Build with a stop-token set: stopworded terms are absent from
+    the index; survivors' df unchanged (stop filter runs pre-index,
+    segment.go:49-66)."""
+    cfg = EngineConfig(
+        index_type=LOCS_INDEX, num_index_partitions=8,
+        stopwords=STOPWORD_FIXTURE,
+    )
+    idx = build_index(load_documents(spark, sf), cfg)
+    return idx.term_stats.where(
+        F.col("term").isin("the", "data", "query", "dup", "batch")
+    ).select("term", F.col("df").cast("long").alias("df"))
+
+
+def _ft_snippet2(spark, sf) -> DataFrame:
+    """(doc_id, loc1, loc2) — TokenSnippetLocs for the 2-term AND
+    query (Q17, core/indexer.go:513-520): the positions chosen by the
+    proximity DP backtrack."""
+    eng = _engine(spark, sf)
+    res = eng.search(SearchRequest(tokens=["data", "query"], scorer="float32"))
+    return res.select(
+        "doc_id",
+        F.element_at("snippet_locs", 1).alias("loc1"),
+        F.element_at("snippet_locs", 2).alias("loc2"),
+    ).orderBy("doc_id")
 
 
 # every 3rd doc below 150 — a 50-doc tombstone set
@@ -942,6 +979,42 @@ FROM (SELECT doc_id,
 SELECT doc_id,
        (2 * length(replace(lower(text), ' ', '')))::BIGINT AS num_tokens
 FROM documents
+"""
+    o["ft_stopworded_df"] = """
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM (
+  SELECT doc_id, unnest(string_split(lower(text),' ')) AS term FROM documents
+) WHERE term IN ('query','dup','batch')  -- 'the','data' are stopworded
+GROUP BY term
+"""
+    # snippet backtrack tie policy: first minimal pair => lexicographic
+    # min over (value, loc2, loc1)
+    o["ft_snippet2"] = """
+WITH seg AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS w,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS i
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w,
+         sum(octet_length(encode(w)) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - (octet_length(encode(w)) + 1) AS p
+  FROM seg
+),
+pa AS (SELECT doc_id, p FROM pos WHERE w = 'data'),
+pb AS (SELECT doc_id, p FROM pos WHERE w = 'query'),
+pairs AS (
+  SELECT pa.doc_id AS doc_id, pa.p AS l1, pb.p AS l2,
+         abs(pb.p - pa.p - octet_length(encode('data'))) AS v
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+)
+SELECT doc_id, l1::INT AS loc1, l2::INT AS loc2 FROM (
+  SELECT doc_id, l1, l2,
+         row_number() OVER (PARTITION BY doc_id ORDER BY v, l2, l1) AS rn
+  FROM pairs
+) WHERE rn = 1 ORDER BY doc_id
 """
     _del = ", ".join(str(i) for i in DELETE_IDS)
     o["ft_delete_requery"] = _bm25_sql(
