@@ -72,7 +72,7 @@ query_strategy = st.tuples(
 
 @given(query_strategy)
 @settings(
-    max_examples=15,
+    max_examples=40,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -115,7 +115,7 @@ def labeled_engines(spark):
     st.sampled_from(["lab0", "lab1", "lab2", "lab3", "labX"]),
 )
 @settings(
-    max_examples=10,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -132,3 +132,84 @@ def test_random_label_queries_rank_identical(labeled_engines, tokens, label):
         np.array([r["score"] for r in got], dtype=np.float32),
         np.array([np.float32(r["score"]) for r in want], dtype=np.float32),
     )
+
+
+@pytest.fixture(scope="module")
+def block_engine(engines):
+    from riot_spark.blocks import BlockSearchEngine, blocked_from_index
+
+    eng, _ = engines
+    return BlockSearchEngine(blocked_from_index(eng.index, doc_block_bits=5))
+
+
+@given(
+    st.lists(
+        st.sampled_from(VOCAB + ["absent1"]),
+        min_size=1, max_size=3, unique=True,
+    ),
+    st.integers(min_value=0, max_value=12),  # k (0 = all)
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_block_engine_random_rank_identical(engines, block_engine, tokens, k):
+    """Packed-block kernel (incl. the WAND path when k > 0) must be
+    rank-identical to the flat float32 engine on random queries."""
+    eng, _ = engines
+    flat = eng.search(
+        SearchRequest(tokens=tokens, scorer="float32", max_outputs=k)
+    ).collect()
+    got = block_engine.search_and(tokens, k=k).collect()
+    if k == 0:
+        got = sorted(got, key=lambda r: (-np.float32(r["score"]), r["doc_id"]))
+        flat = sorted(flat, key=lambda r: (-np.float32(r["score"]), r["doc_id"]))
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in flat]
+    np.testing.assert_array_equal(
+        np.array([r["score"] for r in got], dtype=np.float32),
+        np.array([r["score"] for r in flat], dtype=np.float32),
+    )
+
+
+@given(
+    st.lists(st.sampled_from(VOCAB[:20] + ["absentm"]), max_size=2, unique=True),
+    st.lists(st.sampled_from(VOCAB[:20]), max_size=2, unique=True),
+    st.lists(st.sampled_from(VOCAB[:20]), max_size=2, unique=True),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_logic_random_matches_set_algebra(engines, must, should, not_in):
+    """must/should/notIn (Q7) vs a direct set-algebra oracle over the
+    corpus, including riot's notIn-only quirk."""
+    if not (must or should or not_in):
+        return
+    eng, oracle = engines
+    # pure-Python expected set from the oracle's posting table
+    def docs_of(t):
+        return set(oracle.table.get(t, {}))
+    if must and any(t not in oracle.table for t in must):
+        want = set()
+    elif must:
+        want = set.intersection(*[docs_of(t) for t in must])
+        if should:
+            if not any(t in oracle.table for t in should):
+                want = set()
+            else:
+                want &= set.union(*[docs_of(t) for t in should])
+        want -= set.union(*[docs_of(t) for t in not_in]) if not_in else set()
+    elif should:
+        if not any(t in oracle.table for t in should):
+            want = set()
+        else:
+            want = set.union(*[docs_of(t) for t in should])
+            want -= set.union(*[docs_of(t) for t in not_in]) if not_in else set()
+    else:  # notIn-only quirk: the notIn docs themselves
+        want = set.union(*[docs_of(t) for t in not_in])
+    got = eng.search(
+        SearchRequest(must=must, should=should, not_in=not_in)
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(want)
