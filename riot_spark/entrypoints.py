@@ -281,6 +281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # same index state as a one-shot batch build — the oracle is the
     # batch tokenization itself
     q["stream_compact_df"] = _stream_compact_df
+    # stateful streaming first-seen dedup (applyInPandasWithState):
+    # two real micro-batches; one surviving row per fingerprint
+    q["stream_first_seen"] = _stream_first_seen
 
     # riot-compat Using=4 tokenizer (T4 prefix-concat quirk,
     # segment.go:40-77): numTokens bookkeeping per doc
@@ -623,6 +626,46 @@ def _stream_compact_df(spark, sf) -> DataFrame:
         return out
 
 
+def _stream_first_seen(spark, sf) -> DataFrame:
+    """Two availableNow micro-batches (split by doc_id range) through
+    the applyInPandasWithState first-seen dedup; batches are id-ranged
+    so the surviving row per fingerprint is the global min doc_id —
+    the SQL oracle."""
+    import tempfile
+
+    from riot_spark.streaming.dedup import first_seen_stream
+
+    docs = load_documents(spark, sf)
+    w = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    fp = docs.select(
+        "doc_id", F.md5(F.concat_ws(" ", F.slice(w, 1, 5))).alias("fingerprint")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        fp.where(F.col("doc_id") < 250).write.parquet(f"{tmp}/in/b0")
+        fp.where(F.col("doc_id") >= 250).write.parquet(f"{tmp}/in/b1")
+        stream = (
+            spark.readStream.schema("doc_id LONG, fingerprint STRING")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        qname = f"first_seen_{abs(hash(sf)) % 10**8}"
+        q = (
+            first_seen_stream(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out = spark.sql(f"SELECT doc_id, fingerprint FROM {qname}")
+        out = out.cache()
+        out.count()  # materialize before the tmpdir vanishes
+        return out
+
+
 def _mm_media(spark, sf) -> DataFrame:
     """Deterministic media fixture derived from documents: payload =
     UTF-8 bytes of text, 8x8 'image', duration keyed off doc_id."""
@@ -957,6 +1000,14 @@ FROM prox ORDER BY doc_id
 WITH {_TOKS_CTE}
 SELECT term, count(*)::BIGINT AS df FROM tf
 WHERE term IN ('data','query','dup') GROUP BY term
+"""
+    o["stream_first_seen"] = f"""
+WITH fp AS (
+  SELECT doc_id, md5(array_to_string(({_WORDS_SQL})[1:5], ' ')) AS fingerprint
+  FROM documents
+)
+SELECT min(doc_id)::BIGINT AS doc_id, fingerprint
+FROM fp GROUP BY fingerprint
 """
     o["compat_using4_len"] = f"""
 SELECT doc_id,

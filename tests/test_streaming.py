@@ -43,6 +43,45 @@ def test_incremental_converges_to_batch(spark, tmp_path):
     assert SearchEngine(live).search(SearchRequest(tokens=["query", "engine"])).collect() == []
 
 
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: across micro-batches,
+    one row per fingerprint carrying the doc of its first appearance."""
+    from riot_spark.streaming.dedup import first_seen_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows1 = [(1, "fpA"), (2, "fpB"), (3, "fpA")]
+    rows2 = [(4, "fpB"), (5, "fpC"), (6, "fpA")]
+    spark.createDataFrame(rows1, "doc_id LONG, fingerprint STRING").write.parquet(
+        str(src / "b0")
+    )
+    spark.createDataFrame(rows2, "doc_id LONG, fingerprint STRING").write.parquet(
+        str(src / "b1")
+    )
+    stream = (
+        spark.readStream.schema("doc_id LONG, fingerprint STRING")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        first_seen_stream(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["fingerprint"]: r["doc_id"]
+        for r in spark.sql("SELECT * FROM first_seen_t").collect()
+    }
+    # min doc_id per fingerprint (batches split by ascending id range,
+    # so the first-seen batch contains the global min)
+    assert got == {"fpA": 1, "fpB": 2, "fpC": 5}
+
+
 def test_streaming_file_source_end_to_end(spark, tmp_path):
     """Drive through an actual readStream (file source, availableNow)."""
     src = tmp_path / "incoming"
