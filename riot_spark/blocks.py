@@ -86,7 +86,13 @@ def build_blocks(index: Index, doc_block_bits: int = 13) -> DataFrame:
     shuffles: salting is doc-range-aligned (salt_block_bits >=
     doc_block_bits), so a (term, block) group never straddles
     partitions, and the packer re-groups rows across Arrow batch
-    boundaries."""
+    boundaries.
+
+    Doc ids must be DENSE (the pages_to_documents contract): block_id
+    = doc_id >> doc_block_bits partitions the corpus into doc RANGES.
+    Feeding sparse/hashed 64-bit ids degenerates every block to a
+    single doc (2^50 ranges) — same reason riot keeps docIds sorted
+    and contiguous inside posting arrays (core/indexer.go:68-74)."""
     if getattr(index.config, "build_salts", 1) > 1:
         assert doc_block_bits <= index.config.salt_block_bits, (
             "block granularity must be at least as coarse-grained as the "
