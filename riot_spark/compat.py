@@ -102,8 +102,55 @@ def gse_segment(text: str):  # pragma: no cover - explicit stub
     )
 
 
-def pinyin_tokens(text: str):  # pragma: no cover - explicit stub
-    raise NotImplementedError(
-        "pinyin expansion (segment.go:316-378) requires the gpy data "
-        "files, absent from the reference checkout"
-    )
+def pinyin_tokens(
+    text: str,
+    py_map: dict[str, str] | None = None,
+    gse=None,
+    stop_tokens: frozenset[str] = frozenset(),
+) -> list[str]:
+    """Pinyin expansion — Engine.PinYin, segment.go:316-378 (the
+    UsePhrase=false path).
+
+    Emits, in riot's exact order: each char + the cumulative char
+    prefix after every char (note: riot appends the single char AND
+    the one-char prefix — first-char duplication is reference
+    behavior); gse segment tokens when a segmenter is given; then the
+    cumulative pinyin concatenations and cumulative first-letter
+    (initials) prefixes.
+
+    ``py_map`` is the per-character pinyin table (gpy.LazyConvert
+    semantics: characters missing from the table are skipped).  The
+    gpy data files are absent from the reference checkout, so the
+    caller must inject a mapping; passing None raises.
+    """
+    if py_map is None:
+        raise NotImplementedError(
+            "pinyin expansion needs a char->pinyin table; the gpy data "
+            "files are absent from the reference checkout — inject "
+            "py_map (see tests/test_gse.py for the fixture pattern)"
+        )
+    out: list[str] = []
+    split_str = ""
+    for ch in text:
+        if ch != "":
+            if ch not in stop_tokens:
+                out.append(ch)
+            split_str += ch
+        if split_str not in stop_tokens:
+            out.append(split_str)
+    if gse is not None:
+        for tok, _pos in gse.segment(text):
+            if tok not in stop_tokens:
+                out.append(tok)
+    py = [py_map[c] for c in text if c in py_map]
+    py_str = ""
+    initials = ""
+    for syl in py:
+        py_str += syl
+        if py_str not in stop_tokens:
+            out.append(py_str)
+        if syl:
+            initials += syl[0]
+            if initials not in stop_tokens:
+                out.append(initials)
+    return out

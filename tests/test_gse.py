@@ -110,6 +110,28 @@ def test_frequencies_index_per_shard_golden(gse):
     assert scores[5] == 2133
 
 
+PY_MAP = {"世": "shi", "界": "jie", "有": "you", "七": "qi",
+          "十": "shi", "亿": "yi", "人": "ren", "口": "kou"}
+
+
+def test_pinyin_expansion(gse):
+    """Engine.PinYin order-exact (segment.go:316-378): chars +
+    cumulative prefixes (first char duplicated — reference behavior),
+    gse segments, cumulative pinyin and initials."""
+    from riot_spark.compat import pinyin_tokens
+
+    got = pinyin_tokens("世界", PY_MAP, gse=gse)
+    assert got == ["世", "世", "界", "世界", "世界",
+                   "shi", "s", "shijie", "sj"]
+    # without a segmenter; stop tokens filter every surface
+    got = pinyin_tokens("人口", PY_MAP, stop_tokens=frozenset({"人"}))
+    assert got == ["口", "人口", "ren", "r", "renkou", "rk"]
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        pinyin_tokens("世界")  # gpy data absent => mapping required
+
+
 def test_e2e_golden_spark(spark, gse):
     """The same golden through the Spark engine: raw text -> MiniGse
     streams -> index -> proximity-criteria ranking."""
