@@ -257,7 +257,15 @@ def build_index(
             "token_len"
         ),
     )
-    labels = label_tokens(documents, labels_col) if labels_col else None
+    # content-wins label dedup (segment.go:264-279): a label that is
+    # already a content token of the doc is dropped columnar-side
+    labels = (
+        label_tokens(
+            documents, labels_col, text_col="text", stopwords=config.stopwords
+        )
+        if labels_col
+        else None
+    )
     return build_index_from_tokens(
         tokens,
         config,
@@ -265,8 +273,10 @@ def build_index(
         doc_stats=doc_stats,
         cache=cache,
         # internal tokenizers emit riot tokensMaps: one row per
-        # (distinct term, doc) by construction
+        # (distinct term, doc) by construction; labels pre-deduped
+        # columnar-side against content tokens
         unique_postings=True,
+        labels_deduped=True,
     )
 
 
@@ -278,6 +288,7 @@ def build_index_from_tokens(
     cache: bool = True,
     already_partitioned: bool = False,
     unique_postings: bool = False,
+    labels_deduped: bool = False,
 ) -> Index:
     """Build from a (doc_id, term, tf, positions[, token_len])
     DataFrame — the external-tokens mode (riot Using=2,
@@ -309,6 +320,13 @@ def build_index_from_tokens(
             "is_label", F.lit(False)
         )
     if labels is not None:
+        if not labels_deduped:
+            # content wins on (doc, term) collisions (segment.go:264-279):
+            # riot only injects a label absent from the tokensMap
+            labels = labels.join(
+                postings.select("doc_id", "term"), ["doc_id", "term"],
+                "left_anti",
+            )
         lab = labels.join(doc_stats, "doc_id")
         postings = postings.unionByName(lab.select(*postings.columns))
 

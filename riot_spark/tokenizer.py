@@ -158,15 +158,32 @@ def tokenize_locs(
 
 
 def label_tokens(
-    documents: DataFrame, labels_col: str = "labels"
+    documents: DataFrame,
+    labels_col: str = "labels",
+    text_col: str | None = None,
+    stopwords: frozenset[str] = frozenset(),
 ) -> DataFrame:
     """Labels become searchable keywords with empty positions
     (segment.go:264-279): they participate in intersection but carry no
     tf contribution to proximity, and are excluded from BM25 scoring
-    (core/indexer.go:528)."""
-    return documents.select(
-        "doc_id", F.explode(F.col(labels_col)).alias("term")
-    ).select(
+    (core/indexer.go:528).
+
+    When ``text_col`` is given, a label already present as a CONTENT
+    token of the same doc is dropped — riot only adds a label when the
+    tokensMap lacks the key (`if _, ok := tokensMap[label]; !ok`), so
+    the content posting (with its positions) wins.  Columnar check, no
+    join: the label is tested against the stopword-filtered word
+    array."""
+    exploded = documents.select(
+        "doc_id",
+        F.explode(F.col(labels_col)).alias("term"),
+        *([_words_col(text_col, stopwords).alias("__words")] if text_col else []),
+    )
+    if text_col:
+        exploded = exploded.where(
+            ~F.array_contains(F.col("__words"), F.col("term"))
+        )
+    return exploded.select(
         "doc_id",
         "term",
         # riot stores Frequency = len(locations) = 0 for labels

@@ -215,6 +215,49 @@ def test_batch_unscorable_guard_matches_single(spark):
         np.testing.assert_allclose(batch[d], single[d], rtol=1e-5, atol=1e-6)
 
 
+def test_label_content_collision_content_wins(spark):
+    """A term that is BOTH a content token and a label of the same doc
+    keeps its content posting (riot injects a label only when the
+    tokensMap lacks the key, segment.go:264-279) — the doc scores
+    normally, it is NOT unscorable."""
+    from riot_spark.build import build_index
+    from riot_spark.oracle import OracleIndex
+
+    rows = [
+        (1, "token2 token3", ["token2"]),   # token2 content AND label
+        (2, "token2 token3", []),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, labels ARRAY<STRING>")
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=2)
+    idx = build_index(docs, cfg, labels_col="labels")
+    eng = SearchEngine(idx)
+    oracle = OracleIndex(index_type=LOCS_INDEX)
+    for d, text, labs in rows:
+        oracle.add_doc(d, text=text, labels=labs)
+    want = {r["doc_id"]: np.float32(r["score"]) for r in oracle.lookup(["token2", "token3"])}
+    assert all(v > 0 for v in want.values())  # collision must still score
+    req = SearchRequest(tokens=["token2", "token3"])
+    for scorer in ("native", "float32"):
+        req.scorer = scorer
+        got = {r["doc_id"]: np.float32(r["score"]) for r in eng.search(req).collect()}
+        assert set(got) == {1, 2}, scorer
+        for d in got:
+            np.testing.assert_allclose(got[d], want[d], rtol=1e-6, err_msg=scorer)
+    # batch path
+    got = {r["doc_id"]: np.float32(r["score"])
+           for r in eng.search_batch({"q": SearchRequest(tokens=["token2", "token3"])}).collect()}
+    for d in got:
+        np.testing.assert_allclose(got[d], want[d], rtol=1e-6)
+    # block path
+    from riot_spark.blocks import BlockSearchEngine, blocked_from_index
+
+    beng = BlockSearchEngine(blocked_from_index(idx, doc_block_bits=4))
+    got = {r["doc_id"]: np.float32(r["score"])
+           for r in beng.search_and(["token2", "token3"]).collect()}
+    for d in got:
+        np.testing.assert_allclose(got[d], want[d], rtol=1e-6)
+
+
 def test_external_duplicate_postings_no_false_and(spark):
     """External token streams (Using=2) may carry duplicate (term, doc)
     rows; intersection must count distinct terms so a duplicated token
