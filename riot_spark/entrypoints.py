@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multimodal plumbing: binary payload + typed meta, fake decode
     q["mm_image_features"] = _mm_image_features
     q["mm_frame_plan"] = _mm_frame_plan
+    q["mm_resize"] = _mm_resize
 
     # --- embedding similarity ---
     q["sim_cosine_topk"] = _sim_cosine_topk
@@ -698,6 +699,18 @@ def _mm_frame_plan(spark, sf) -> DataFrame:
     return sample_frames(_mm_media(spark, sf), every_ms=1000)
 
 
+def _mm_resize(spark, sf) -> DataFrame:
+    """4x4 nearest-neighbor resize of the fake-decoded 8x8 image; the
+    output payload is byte-exact reproducible from md5(text) tiling,
+    compared as hex."""
+    from riot_spark.multimodal import resize_images
+
+    out = resize_images(_mm_media(spark, sf), w=4, h=4, fake=True)
+    return out.select(
+        "media_id", F.upper(F.hex("payload")).alias("payload_hex")
+    )
+
+
 def _sim_cosine_topk(spark, sf) -> DataFrame:
     emb = load_embeddings(spark, sf)
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
@@ -1083,6 +1096,20 @@ SELECT doc_id AS media_id,
        avg(v) AS mean_r, avg(v) AS mean_g, avg(v) AS mean_b,
        avg(v) AS brightness
 FROM b GROUP BY doc_id
+"""
+    # nearest-neighbor 4x4 over the md5-tiled 8x8x3 fake decode:
+    # sampled rows/cols are (0,2,4,6); flat byte k = md5[((y*8+x)*3+c)%16]
+    o["mm_resize"] = """
+WITH idx AS (
+  SELECT ((y.y*8 + x.x)*3 + c.c) % 16 AS k,
+         row_number() OVER (ORDER BY y.y, x.x, c.c) AS rn
+  FROM (SELECT unnest([0,2,4,6]) AS y) y,
+       (SELECT unnest([0,2,4,6]) AS x) x,
+       (SELECT unnest([0,1,2]) AS c) c
+)
+SELECT doc_id AS media_id,
+       upper(string_agg(substr(md5(text), 2*k + 1, 2), '' ORDER BY rn)) AS payload_hex
+FROM documents, idx GROUP BY doc_id
 """
     o["mm_frame_plan"] = """
 SELECT doc_id AS media_id, f::INT AS frame_idx, (f * 1000)::INT AS ts_ms
