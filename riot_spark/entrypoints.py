@@ -321,6 +321,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_embeddings(s, d).where(F.col("vec_id") < 200),
         threshold=0.35, num_planes=6, dim=EMB_DIM,
     )
+    # banded SRP (minhash-style): 2 independent plane-sets unioned,
+    # cross-band candidate dedup before the exact verify — the recall
+    # recipe the single-band LSH scales up with
+    q["sim_lsh_banded"] = lambda s, d: lsh_neardup_pairs(
+        load_embeddings(s, d).where(F.col("vec_id") < 200),
+        threshold=0.35, num_planes=5, dim=EMB_DIM, bands=2,
+    )
     # IVF ANN: centroids are table rows (deterministic), assignment =
     # argmax cosine, probe 2 of 8 lists, exact re-rank
     q["sim_ivf_topk"] = _sim_ivf_topk
@@ -724,32 +731,39 @@ IVF_CENTROID_IDS = [0, 7, 23, 41, 77, 113, 151, 199]
 EMB_DIM = 64
 
 
-def _lsh_sql(num_planes: int, dim: int, threshold: float, id_max: int) -> str:
+def _lsh_sql(
+    num_planes: int, dim: int, threshold: float, id_max: int, bands: int = 1
+) -> str:
     """DuckDB twin of lsh_neardup_pairs: the SRP hyperplanes are
     deterministic (md5-derived) library constants — inlined here as
-    literal VALUES so the oracle reproduces bucket assignment and the
-    exact-cosine verify end to end."""
+    literal VALUES so the oracle reproduces bucket assignment (per
+    band), cross-band candidate dedup, and the exact-cosine verify
+    end to end."""
     from riot_spark.operators.similarity import _hyperplane
 
     vals = ", ".join(
-        f"({p}, {j}, {v!r})"
+        f"({band}, {p}, {j}, {v!r})"
+        for band in range(bands)
         for p in range(num_planes)
-        for j, v in enumerate(_hyperplane(p, dim))
+        for j, v in enumerate(_hyperplane(band * num_planes + p, dim))
     )
     return f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {id_max}),
 x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
              unnest(embedding)::DOUBLE AS x FROM e),
-pl(p, j, v) AS (VALUES {vals}),
-dots AS (SELECT vec_id, p, sum(x * v) AS d FROM x JOIN pl USING (j)
-         GROUP BY vec_id, p),
-bkt AS (SELECT vec_id,
+pl(band, p, j, v) AS (VALUES {vals}),
+dots AS (SELECT vec_id, band, p, sum(x * v) AS d FROM x JOIN pl USING (j)
+         GROUP BY vec_id, band, p),
+bkt AS (SELECT vec_id, band,
                sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
-        FROM dots GROUP BY vec_id),
-eb AS (SELECT e.vec_id, bucket, embedding FROM e JOIN bkt USING (vec_id)),
-p2 AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
-              unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
-       FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        FROM dots GROUP BY vec_id, band),
+cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         FROM bkt a JOIN bkt b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+p2 AS (SELECT ia, ib,
+              unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+       FROM cand JOIN e ea ON cand.ia = ea.vec_id
+                 JOIN e eb ON cand.ib = eb.vec_id)
 SELECT id_a, id_b, cosine FROM (
   SELECT ia AS id_a, ib AS id_b,
          round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 4) AS cosine
@@ -1210,6 +1224,9 @@ SELECT vec_id, cosine FROM (
 ) ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
     o["sim_lsh_neardup"] = _lsh_sql(num_planes=6, dim=EMB_DIM, threshold=0.35, id_max=200)
+    o["sim_lsh_banded"] = _lsh_sql(
+        num_planes=5, dim=EMB_DIM, threshold=0.35, id_max=200, bands=2
+    )
     o["sim_neardup"] = """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
 p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,

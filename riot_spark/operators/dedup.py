@@ -59,16 +59,33 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs with |A∩B|/|A∪B| >= threshold.
 
     Candidate blocking: only pairs sharing >=1 shingle are compared
     (explode + self-equi-join on shingle), so cost is driven by
     shingle document-frequency, not corpus².
-    """
+
+    Pair cost is Σ_shingles df² — a stopword-like shingle appearing in
+    k docs alone contributes k² candidate rows.  ``max_shingle_df``
+    drops shingles above that document frequency before blocking; a
+    dropped shingle leaves the shared count too, so this is the
+    approximate tier (pairs whose overlap is only ultra-hot shingles
+    are missed — the standard df-cap trade).  At 100 TB set it to a
+    small multiple of the expected duplicate-cluster size; None keeps
+    the exact semantics the driver-oracle row checks."""
     sh = shingle_docs(documents, n, text_col)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
     a = ex.alias("a")
     b = ex.alias("b")
     shared = (

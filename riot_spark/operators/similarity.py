@@ -98,17 +98,28 @@ def lsh_bucket(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = 1,
 ) -> DataFrame:
-    """(id, bucket) — random-hyperplane (SRP) LSH signature as a LONG
-    bit-bucket. Vectors in the same bucket are ANN candidates."""
+    """(id, band, bucket) — random-hyperplane (SRP) LSH signatures as
+    LONG bit-buckets, one independent plane-set per band.  Vectors
+    sharing any band's bucket are ANN candidates; band 0's planes are
+    seeds 0..num_planes-1 (backward-compatible with single-band)."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(p, dim)])
-        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, p)
-    return embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    rows = []
+    for band in range(bands):
+        bucket = F.lit(0).cast("long")
+        for p in range(num_planes):
+            plane = F.array(
+                *[F.lit(v) for v in _hyperplane(band * num_planes + p, dim)]
+            )
+            bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+            bucket = bucket + F.shiftleft(bit, p)
+        rows.append(F.struct(F.lit(band).alias("band"), bucket.alias("bucket")))
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*rows)).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def lsh_neardup_pairs(
@@ -116,33 +127,41 @@ def lsh_neardup_pairs(
     threshold: float = 0.9,
     num_planes: int = 12,
     dim: int | None = None,
+    bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Scale path: SRP-bucket candidates, then exact cosine verify.
 
-    Recall is governed by num_planes (collision prob = (1-θ/π)^planes);
-    at 100 TB you'd run several plane-sets (bands) and union, same as
-    minhash banding — single-band here keeps the oracle simple.  Pass
-    `dim` when known (table metadata) to avoid the one-row probe."""
-    buckets = lsh_bucket(embeddings, num_planes, dim, id_col, vec_col)
+    Per-band collision prob for angle θ is (1-θ/π)^num_planes; unioning
+    `bands` independent plane-sets (minhash-style banding) raises
+    recall to 1-(1-p)^bands at linear candidate cost.  Candidate pairs
+    are deduped across bands BEFORE the exact-cosine verify, so each
+    survivor pays the dot product once.  Pass `dim` when known (table
+    metadata) to avoid the one-row probe."""
+    buckets = lsh_bucket(embeddings, num_planes, dim, id_col, vec_col, bands)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
     norm = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("n"),
-    ).join(buckets, "id")
-    a, b = norm.alias("a"), norm.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    )
+    va, vb = norm.alias("va"), norm.alias("vb")
+    cos = _dot(F.col("va.v"), F.col("vb.v")) / (F.col("va.n") * F.col("vb.n"))
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cos, 4).alias("cosine"),
-        )
+        cand.join(va, F.col("id_a") == F.col("va.id"))
+        .join(vb, F.col("id_b") == F.col("vb.id"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
