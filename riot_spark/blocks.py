@@ -266,6 +266,29 @@ class BlockSearchEngine:
         dfs = bi.lookup_terms(keywords)
         if not keywords or any(t not in dfs for t in keywords):
             return spark.createDataFrame([], out_schema)
+        kernel = self._make_and_kernel(tok_list, keywords, dfs, do_prox)
+        matched = bi.blocks.where(F.col("term").isin(keywords))
+        if k and not do_prox:
+            wand, _ = self._wand_topk(
+                matched, kernel, tok_list, [dfs[t] for t in tok_list],
+                len(set(keywords)), k,
+            )
+            if wand is not None:
+                return wand
+        scored = matched.groupBy("block_id").applyInPandas(kernel, out_schema)
+        out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(k) if k else out
+
+    def _make_and_kernel(
+        self,
+        tok_list: list[str],
+        keywords: list[str],
+        dfs: dict[str, int],
+        do_prox: bool,
+    ):
+        """Build the per-block-group AND/BM25(/proximity) kernel —
+        shared by search_and and the budgeted (Q13) walk."""
+        bi = self.bi
         kw_set = set(keywords)
         n_kw = len(kw_set)
         df_list = [dfs[t] for t in tok_list]
@@ -395,14 +418,50 @@ class BlockSearchEngine:
                 out["snippet_locs"] = snippets
             return pd.DataFrame(out)
 
+        return kernel
+
+    def search_and_budgeted(
+        self,
+        tokens: list[str],
+        k: int,
+        budget_s: float,
+        labels: list[str] | tuple = (),
+    ) -> tuple[DataFrame, bool]:
+        """Timeout partial results (Q13, engine.go:591-630), batch form.
+
+        riot's per-shard deadline returns whatever shards answered in
+        time with Timeout=true; the batch analogue budgets the WAND
+        refinement walk — chunks are processed in score-bound order, so
+        when the clock runs out the partial top-k comes from the
+        highest-potential doc ranges (strictly better than riot's
+        arbitrary surviving-shard subset).  Returns (results,
+        timed_out); timed_out=False means the exact top-k."""
+        import time as _time
+
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        tok_list = list(tokens)
+        keywords = tok_list + [t for t in labels if t not in tok_list]
+        dfs = bi.lookup_terms(keywords)
+        if not keywords or any(t not in dfs for t in keywords):
+            return spark.createDataFrame([], "doc_id LONG, score FLOAT"), False
+        kernel = self._make_and_kernel(tok_list, keywords, dfs, False)
         matched = bi.blocks.where(F.col("term").isin(keywords))
-        if k and not do_prox:
-            wand = self._wand_topk(matched, kernel, tok_list, df_list, n_kw, k)
-            if wand is not None:
-                return wand
-        scored = matched.groupBy("block_id").applyInPandas(kernel, out_schema)
-        out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        return out.limit(k) if k else out
+        wand, timed_out = self._wand_topk(
+            matched, kernel, tok_list, [dfs[t] for t in tok_list],
+            len(set(keywords)), k,
+            deadline=_time.monotonic() + budget_s,
+        )
+        if wand is not None:
+            return wand, timed_out
+        # too few groups for WAND: the single-pass result is exact
+        scored = matched.groupBy("block_id").applyInPandas(
+            kernel, "doc_id LONG, score FLOAT"
+        )
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k),
+            False,
+        )
 
     def search_logic(
         self,
@@ -493,7 +552,8 @@ class BlockSearchEngine:
         df_list: list[int],
         n_kw: int,
         k: int,
-    ) -> DataFrame | None:
+        deadline: float | None = None,
+    ) -> tuple[DataFrame | None, bool]:
         """Block-max WAND, batch-shaped.
 
         Phase 1 computes block metadata as a DataFrame (no posting
@@ -540,12 +600,13 @@ class BlockSearchEngine:
             .cache()
         )
         out_schema = "doc_id LONG, score FLOAT"
+        timed_out = False
         try:
             n_groups = meta_df.count()
             if n_groups == 0:
-                return spark.createDataFrame([], out_schema)
+                return spark.createDataFrame([], out_schema), False
             if n_groups <= 2:
-                return None  # nothing to prune — single-pass is cheaper
+                return None, False  # nothing to prune — single-pass is cheaper
             best: list[tuple[float, int]] = []  # (-score, doc_id) asc
             # cursor over (bound desc, block_id asc); ties split cleanly
             last_bound, last_blk = None, None
@@ -584,6 +645,15 @@ class BlockSearchEngine:
                 best = best[:k]
                 if not peek:
                     break  # metadata exhausted
+                if deadline is not None:
+                    import time as _time
+
+                    if _time.monotonic() > deadline:
+                        # Q13: budget spent with groups remaining — the
+                        # running top-k (drawn bound-first) is the
+                        # partial result
+                        timed_out = True
+                        break
                 last_bound = float(body[-1]["bound"])
                 last_blk = int(body[-1]["block_id"])
                 next_bound = float(peek[0]["bound"])
@@ -599,8 +669,11 @@ class BlockSearchEngine:
                     and -best[k - 1][0] > next_bound * (1.0 + 1e-6) + 1e-6
                 ):
                     break
-            return spark.createDataFrame(
-                [(doc_id, -negs) for negs, doc_id in best], out_schema
+            return (
+                spark.createDataFrame(
+                    [(doc_id, -negs) for negs, doc_id in best], out_schema
+                ),
+                timed_out,
             )
         finally:
             meta_df.unpersist()

@@ -222,6 +222,35 @@ def test_block_logic_matches_flat(sf_index, bindex, must, should, notin):
     assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in flat)
 
 
+def test_budgeted_search_partial_results(sf_index):
+    """Q13 batch analogue: a generous budget returns the exact top-k
+    with timed_out=False; a zero budget returns a bound-ordered
+    partial subset with timed_out=True."""
+    # fine-grained ranges (4 docs each) so the walk has many chunks
+    eng = BlockSearchEngine(blocked_from_index(sf_index, doc_block_bits=2))
+    exact = eng.search_and(["data"], k=10).collect()
+    full, t1 = eng.search_and_budgeted(["data"], k=10, budget_s=300.0)
+    full = full.collect()
+    assert not t1
+    assert [(r["doc_id"], np.float32(r["score"])) for r in full] == [
+        (r["doc_id"], np.float32(r["score"])) for r in exact
+    ]
+    part, t2 = eng.search_and_budgeted(["data"], k=10, budget_s=0.0)
+    part = part.collect()
+    assert t2  # many groups, zero budget => partial
+    exact_set = {(r["doc_id"], np.float32(r["score"])) for r in exact}
+    # every returned row is a genuine scored candidate; the walk is
+    # bound-first so rows come from the highest-potential ranges
+    got_scores = {r["doc_id"]: np.float32(r["score"]) for r in part}
+    flat_all = {
+        r["doc_id"]: np.float32(r["score"])
+        for r in eng.search_and(["data"], k=0).collect()
+    }
+    for d, sc in got_scores.items():
+        assert flat_all[d] == sc
+    assert len(part) <= 10
+
+
 def test_persisted_postings_pushdown(spark, sf_index, tmp_path):
     """Reading the persisted index must push the term filter into the
     parquet scan (PushedFilters) and prune unread columns (ReadSchema)
