@@ -550,6 +550,31 @@ class SearchEngine:
             .select("query_id", "doc_id", "score", "rank")
         )
 
+    @staticmethod
+    def _rank_slice(df: DataFrame) -> DataFrame:
+        """Per-query window rank + [offset, offset+k) slice over rows
+        (query_id, doc_id, score, k, qoffset, dir).  One window serves
+        both sort directions: multiplying (score, doc_id) by dir = -1
+        inverts the ordering for ReverseOrder queries without a second
+        sort."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.col("score") * F.col("dir")),
+            F.asc(F.col("doc_id") * F.col("dir")),
+        )
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .where(
+                (F.col("rank") > F.col("qoffset"))
+                & (
+                    (F.col("k") == 0)
+                    | (F.col("rank") <= F.col("qoffset") + F.col("k"))
+                )
+            )
+            .select("query_id", "doc_id", "score", "rank")
+        )
+
     def _search_batch_exec(
         self, requests: dict[str, SearchRequest], double_scores: bool = False
     ) -> DataFrame:
@@ -749,15 +774,8 @@ class SearchEngine:
                     if double_scores
                     else F.col("score_d").cast("float")
                 )
-                # one window serves both sort directions: multiplying
-                # (score, doc_id) by dir = -1 inverts the ordering for
-                # ReverseOrder queries without a second sort
                 dir_col = F.when(F.col("rev"), F.lit(-1.0)).otherwise(F.lit(1.0))
-                w = Window.partitionBy("query_id").orderBy(
-                    F.desc(F.col("score") * F.col("dir")),
-                    F.asc(F.col("doc_id") * F.col("dir")),
-                )
-                ranked = (
+                ranked = self._rank_slice(
                     scored.select(
                         "query_id",
                         "doc_id",
@@ -766,15 +784,6 @@ class SearchEngine:
                         "qoffset",
                         dir_col.alias("dir"),
                     )
-                    .withColumn("rank", F.row_number().over(w))
-                    .where(
-                        (F.col("rank") > F.col("qoffset"))
-                        & (
-                            (F.col("k") == 0)
-                            | (F.col("rank") <= F.col("qoffset") + F.col("k"))
-                        )
-                    )
-                    .select(*out_cols)
                 )
                 parts_df.append(ranked)
 
@@ -947,24 +956,11 @@ class SearchEngine:
             F.round(score.cast("double"), 4) if double_scores else score
         )
         dir_col = F.when(F.col("rev"), F.lit(-1.0)).otherwise(F.lit(1.0))
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc(F.col("score") * F.col("dir")),
-            F.asc(F.col("doc_id") * F.col("dir")),
-        )
-        return (
+        return self._rank_slice(
             res.select(
                 "query_id", "doc_id", score.alias("score"),
                 "k", "qoffset", dir_col.alias("dir"),
             )
-            .withColumn("rank", F.row_number().over(w))
-            .where(
-                (F.col("rank") > F.col("qoffset"))
-                & (
-                    (F.col("k") == 0)
-                    | (F.col("rank") <= F.col("qoffset") + F.col("k"))
-                )
-            )
-            .select("query_id", "doc_id", "score", "rank")
         )
 
     def _count_batch_exec(
