@@ -82,3 +82,47 @@ def test_tokenize_compat_spark(spark):
     assert set(rows) == {"a", "b", "ab", "c", "abc"}
     assert list(rows["a"]["positions"]) == [1, 2]
     assert rows["a"]["token_len"] == 6.0
+
+
+def test_http_endpoint_search_index_delete(spark):
+    """S7 smoke surface (net/http/http.go form params): search via GET,
+    add/delete/flush via POST through the Engine facade."""
+    import json
+    import urllib.request
+
+    from riot_spark.config import EngineConfig, FREQUENCIES_INDEX
+    from riot_spark.engine import Engine
+    from riot_spark.net import serve
+
+    eng = Engine(spark, EngineConfig(index_type=FREQUENCIES_INDEX,
+                                     num_index_partitions=2))
+    eng.index_doc(1, "hello world data")
+    eng.index_doc(2, "data query engine")
+    eng.flush()
+    srv = serve(facade=eng)
+    try:
+        port = srv.server_address[1]
+
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return json.loads(r.read())
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        assert get("/health") == {"status": "ok"}
+        docs = get("/search?query=data&maxOutputs=5")["docs"]
+        assert sorted(d["doc_id"] for d in docs) == [1, 2]
+        post("/index", {"doc_id": 3, "content": "more data here"})
+        post("/delete", {"doc_id": 1})
+        post("/flush", {})
+        docs = get("/search?query=data&maxOutputs=5")["docs"]
+        assert sorted(d["doc_id"] for d in docs) == [2, 3]
+    finally:
+        srv.shutdown()
