@@ -59,13 +59,14 @@ class EngineConfig:
     # build_salts=1 disables salting (exact legacy layout).
     build_salts: int = 8
     salt_block_bits: int = 13
-    # Reduce-task count for query-time aggregations.  Candidate sets
-    # are tiny next to the index, so inheriting the session's (build-
-    # sized) shuffle partition count just pays scheduling overhead —
-    # explicit small repartition cut p50 ~30% (398->280 ms at sf0.1).
-    # Raise for corpora where single-query candidate sets are huge;
-    # 0 = inherit the session setting.
-    query_agg_partitions: int = 8
+    # Reduce-task count for query-time aggregations.  An explicit
+    # repartition beats inheriting the session's (build-sized) shuffle
+    # count by a wide margin — the inherited path pays an AQE re-plan
+    # plus coalescing on every query (measured p50 at sf0.1/local[32]:
+    # inherit 367 ms; 1->302, 2->244, 4->227, 8->214, 16->182 ms).
+    # Default 16 suits tens of cores; scale with candidate volume on a
+    # cluster; 0 = inherit the session setting.
+    query_agg_partitions: int = 16
     stopwords: frozenset[str] = frozenset()
 
 
