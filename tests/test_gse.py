@@ -110,6 +110,83 @@ def test_frequencies_index_per_shard_golden(gse):
     assert scores[5] == 2133
 
 
+def test_e2e_reverse_and_offset_golden(spark, gse):
+    """TestReverseOrder (engine_test.go:68-80: ascending proximity
+    ranking -> docs [1, 5, 2]) and TestSearchOffsetMax
+    (engine_test.go:84-104: ReverseOrder + offset 1, max 3 -> [5, 2]),
+    driven from raw content through MiniGse."""
+    from riot_spark.build import build_index_from_tokens
+    from riot_spark.query import SearchEngine, SearchRequest
+
+    rows, lens = [], []
+    for doc_id, content in E2E_CONTENT.items():
+        toks, num = gse.tokenize(content)
+        rows.extend((doc_id, t, float(len(p)), list(p)) for t, p in toks)
+        lens.append((doc_id, float(num)))
+    idx = build_index_from_tokens(
+        spark.createDataFrame(
+            rows, "doc_id LONG, term STRING, tf FLOAT, positions ARRAY<INT>"
+        ),
+        EngineConfig(index_type=LOCS_INDEX, num_index_partitions=4),
+        doc_stats=spark.createDataFrame(lens, "doc_id LONG, token_len FLOAT"),
+        unique_postings=True,
+    )
+    eng = SearchEngine(idx)
+    rev = eng.search(
+        SearchRequest(tokens=["world", "人口"], scorer="float32",
+                      criteria="proximity", reverse_order=True, max_outputs=10)
+    ).collect()
+    assert [r["doc_id"] for r in rev] == [1, 5, 2]
+    sliced = eng.search(
+        SearchRequest(tokens=["world", "人口"], scorer="float32",
+                      criteria="proximity", reverse_order=True,
+                      offset=1, max_outputs=3)
+    ).collect()
+    assert [r["doc_id"] for r in sliced] == [5, 2]
+
+
+def test_e2e_with_tokens_golden(spark, gse):
+    """TestEngineIndexWithTokens (engine_test.go:248-305): docs 1 and 2
+    indexed via EXTERNAL token streams (Content empty, Using=2-style
+    fallback inside Using=1 — segment.go:172-185), doc 3 via gse
+    content segmentation; proximity-criteria goldens 500/83/71 with
+    snippet locs reproduced through the Spark engine."""
+    import numpy as np
+
+    from riot_spark.build import build_index_from_tokens
+    from riot_spark.query import SearchEngine, SearchRequest
+
+    rows = [
+        (1, "world", [0]), (1, "人口", [18, 24]),
+        (2, "world", [0]), (2, "人口", [6]),
+    ]
+    toks3, num3 = gse.tokenize("The world, 七十亿人口")
+    rows += [(3, t, p) for t, p in toks3]
+    toks_df = spark.createDataFrame(
+        [(d, t, float(len(p)), list(p)) for d, t, p in rows],
+        "doc_id LONG, term STRING, tf FLOAT, positions ARRAY<INT>",
+    )
+    doc_stats = spark.createDataFrame(
+        [(1, 2.0), (2, 2.0), (3, float(num3))], "doc_id LONG, token_len FLOAT"
+    )
+    idx = build_index_from_tokens(
+        toks_df,
+        EngineConfig(index_type=LOCS_INDEX, num_index_partitions=4),
+        doc_stats=doc_stats,
+        unique_postings=True,
+    )
+    res = SearchEngine(idx).search(
+        SearchRequest(tokens=["world", "人口"], scorer="float32",
+                      criteria="proximity", max_outputs=10)
+    ).collect()
+    got = [
+        (r["doc_id"], int(np.float32(r["score"]) * 1000),
+         list(r["snippet_locs"]))
+        for r in res
+    ]
+    assert got == [(2, 500, [0, 6]), (3, 83, [4, 20]), (1, 71, [0, 18])]
+
+
 PY_MAP = {"世": "shi", "界": "jie", "有": "you", "七": "qi",
           "十": "shi", "亿": "yi", "人": "ren", "口": "kou"}
 
