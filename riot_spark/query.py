@@ -630,11 +630,11 @@ class SearchEngine:
                     and req.doc_ids is None
                     and not req.count_docs_only
                 ):
-                    # orderless AND == logic must-query over keywords
+                    # orderless AND == logic must-query over keywords;
+                    # offset/limit intentionally NOT applied — search()
+                    # returns the unranked candidate set unsliced (Q15)
                     logic_batch[qid] = SearchRequest(
                         must=req.all_tokens() + list(req.labels),
-                        offset=req.offset,
-                        max_outputs=req.max_outputs,
                     )
                 elif plain and req.scorer == "native" and req.criteria == "bm25":
                     batchable[qid] = req
