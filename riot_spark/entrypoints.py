@@ -970,6 +970,13 @@ WITH dtoks AS (
     # byte offset of word i = sum of (bytelen + 1 space) of all prior
     # split segments, INCLUDING empty segments (1 byte each) — matches
     # tokenize_text's position accounting exactly.
+    # NOTE: riot's proximity DP is a WINDOWED minimization (each p1
+    # considers only its two neighbor p2 candidates,
+    # core/indexer.go:762-791); this SQL computes the unrestricted min
+    # over all pairs.  On whitespace-tokenized text they coincide —
+    # successive occurrences of a term sit >= bytelen+1 apart, so the
+    # in-window candidate always dominates (fuzz-tested invariant in
+    # tests/test_oracle.py).
     o["ft_proximity2"] = """
 WITH seg AS (
   SELECT doc_id,

@@ -75,3 +75,30 @@ def test_pfor_beats_varint_on_dense_gaps():
     assert tagged[0] == 1  # picked PFOR
     ids = np.cumsum(gaps.astype(np.int64))
     assert np.array_equal(delta_decode(delta_encode(ids)), ids)
+
+
+# ---------------------------------------------------------- fuzzing
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from riot_spark.codec import pack_position_lists, unpack_position_lists
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=1 << 30),
+                 min_size=0, max_size=30),
+        min_size=0, max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_position_lists_roundtrip_fuzz(lists):
+    import numpy as np
+
+    lists = [sorted(p) for p in lists]  # positions are ascending
+    blob = pack_position_lists(lists)
+    counts = np.array([len(p) for p in lists], dtype=np.int64)
+    flat, offs = unpack_position_lists(blob, counts)
+    got = [flat[offs[i]:offs[i] + counts[i]].tolist() for i in range(len(lists))]
+    assert got == lists

@@ -191,3 +191,53 @@ def test_float32_accumulation_order():
     s = bm25_score_f32([1.0], [1], 1.0, 3, 1.0, BM25Params())
     assert isinstance(s, np.float32)
     assert abs(float(s) - np.float32(np.log2(4.0))) < 1e-6
+
+
+# ------------------------------------------------- proximity DP fuzz
+
+from itertools import product as _product
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=60),
+                 min_size=1, max_size=4, unique=True),
+        min_size=1, max_size=4,
+    ),
+    st.lists(st.sampled_from(["a", "bb", "ccc", "人口"]), min_size=4, max_size=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_token_proximity_dp_properties(positions, token_pool):
+    """computeTokenProximity is a WINDOWED minimization — for each
+    position of token i it considers only the two neighbor candidates
+    of token i+1 (core/indexer.go:762-791), so its result can exceed
+    the unrestricted global minimum on adversarial position sets (the
+    goldens pin that this port matches riot, windowed behavior
+    included).  Fuzzed invariants: the backtracked path realizes the
+    reported proximity exactly, and the reported value never beats the
+    true global minimum."""
+    from itertools import product as _product
+
+    positions = [sorted(p) for p in positions]
+    tokens = token_pool[: len(positions)]
+    tok_bytes = [len(t.encode("utf-8")) for t in tokens]
+    prox, locs = token_proximity(positions, tokens)
+    assert len(locs) == len(positions)
+    for i, loc in enumerate(locs):
+        assert loc in positions[i]
+    got = sum(
+        abs(locs[i + 1] - locs[i] - tok_bytes[i])
+        for i in range(len(locs) - 1)
+    )
+    assert got == prox  # path consistency
+    best = min(
+        sum(
+            abs(c[i + 1] - c[i] - tok_bytes[i])
+            for i in range(len(c) - 1)
+        )
+        for c in _product(*positions)
+    ) if len(positions) > 1 else 0
+    assert prox >= best  # windowed min never beats the global min
