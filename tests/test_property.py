@@ -213,3 +213,72 @@ def test_logic_random_matches_set_algebra(engines, must, should, not_in):
         SearchRequest(must=must, should=should, not_in=not_in)
     ).collect()
     assert sorted(r["doc_id"] for r in got) == sorted(want)
+
+
+shape_strategy = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(VOCAB[:15] + ["absent1"]),
+                 min_size=1, max_size=2, unique=True),
+        st.sampled_from(["native", "float32", "prox", "rev", "count",
+                         "orderless", "logic"]),
+        st.integers(min_value=0, max_value=8),   # k
+        st.integers(min_value=0, max_value=2),   # offset
+    ),
+    min_size=2, max_size=6,
+)
+
+
+@given(shape_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_search_batch_random_shapes_match_single(engines, shapes):
+    """search_batch vs per-query search() over randomized request
+    shapes — docs, scores, and per-query order must agree for every
+    ranked shape; counts and orderless sets must agree too."""
+    eng, _ = engines
+    reqs = {}
+    for i, (toks, shape, k, off) in enumerate(shapes):
+        if shape == "native":
+            r = SearchRequest(tokens=toks, max_outputs=k, offset=off)
+        elif shape == "float32":
+            r = SearchRequest(tokens=toks, scorer="float32", max_outputs=k,
+                              offset=off)
+        elif shape == "prox":
+            r = SearchRequest(tokens=toks, scorer="float32",
+                              criteria="proximity", max_outputs=k, offset=off)
+        elif shape == "rev":
+            r = SearchRequest(tokens=toks, reverse_order=True, max_outputs=k,
+                              offset=off)
+        elif shape == "count":
+            r = SearchRequest(tokens=toks, count_docs_only=True)
+        elif shape == "orderless":
+            r = SearchRequest(tokens=toks, orderless=True)
+        else:
+            r = SearchRequest(must=toks[:1], should=toks[1:],
+                              max_outputs=k, offset=off)
+        reqs[f"q{i}"] = r
+    batch = eng.search_batch(reqs).collect()
+    by_qid: dict[str, list] = {}
+    for row in batch:
+        by_qid.setdefault(row["query_id"], []).append(row)
+    for qid, req in reqs.items():
+        single = eng.search(req).collect()
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        if req.count_docs_only:
+            n = single[0]["num_docs"]
+            assert len(got) == 1 and int(got[0]["score"]) == n, qid
+        elif req.orderless or (req.must or req.should):
+            assert sorted(r["doc_id"] for r in got) == sorted(
+                r["doc_id"] for r in single
+            ), qid
+        else:
+            assert [r["doc_id"] for r in got] == [
+                r["doc_id"] for r in single
+            ], qid
+            np.testing.assert_allclose(
+                [r["score"] for r in got], [r["score"] for r in single],
+                rtol=1e-5, atol=1e-6, err_msg=qid,
+            )
