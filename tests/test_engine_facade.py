@@ -126,3 +126,40 @@ def test_http_endpoint_search_index_delete(spark):
         assert sorted(d["doc_id"] for d in docs) == [2, 3]
     finally:
         srv.shutdown()
+
+
+def test_http_endpoint_read_only(spark):
+    """serve(engine=...) without a facade: search works, mutations 501."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from riot_spark.build import build_index
+    from riot_spark.config import EngineConfig, FREQUENCIES_INDEX
+    from riot_spark.net import serve
+    from riot_spark.query import SearchEngine
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id LONG, text STRING"
+    )
+    eng = SearchEngine(build_index(
+        docs, EngineConfig(index_type=FREQUENCIES_INDEX, num_index_partitions=2)
+    ))
+    srv = serve(engine=eng)
+    try:
+        port = srv.server_address[1]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?query=beta"
+        ) as r:
+            docs_out = json.loads(r.read())["docs"]
+        assert sorted(d["doc_id"] for d in docs_out) == [1, 2]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/index", data=b"{}"
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 501")
+        except urllib.error.HTTPError as e:
+            assert e.code == 501
+    finally:
+        srv.shutdown()
