@@ -634,6 +634,9 @@ def _stream_compact_df(spark, sf) -> DataFrame:
         return out
 
 
+_FS_SEQ = 0
+
+
 def _stream_first_seen(spark, sf) -> DataFrame:
     """Two availableNow micro-batches (split by doc_id range) through
     the applyInPandasWithState first-seen dedup; batches are id-ranged
@@ -657,7 +660,11 @@ def _stream_first_seen(spark, sf) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(f"{tmp}/in")
         )
-        qname = f"first_seen_{abs(hash(sf)) % 10**8}"
+        # unique per invocation: a memory-sink query name cannot be
+        # reused within one session
+        global _FS_SEQ
+        _FS_SEQ += 1
+        qname = f"first_seen_{_FS_SEQ}"
         q = (
             first_seen_stream(stream)
             .writeStream.format("memory")
