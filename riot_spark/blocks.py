@@ -108,35 +108,6 @@ def build_blocks(index: Index, doc_block_bits: int = 13) -> DataFrame:
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf: list[pd.DataFrame] = []
 
-        def emit(rows: list[dict], g: pd.DataFrame, key):
-            doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
-            tfs = g["tf"].to_numpy(dtype=np.float32)
-            dls = g["token_len"].to_numpy(dtype=np.float32)
-            is_label = bool(key[2])
-            norm = _norm_term(tfs, dls, k1, b, avgdl) if avgdl else np.zeros(1)
-            pos_bin = None
-            if locs and not is_label:
-                # tf == len(positions) in LocsIndex mode, so tfs double
-                # as the positions offset table — no extra counts stored
-                pos_bin = pack_position_lists(
-                    [p if p is not None else [] for p in g["positions"]]
-                )
-            rows.append(
-                {
-                    "term": key[0],
-                    "block_id": int(key[1]),
-                    "is_label": is_label,
-                    "n": len(doc_ids),
-                    "first_doc_id": int(doc_ids[0]),
-                    "last_doc_id": int(doc_ids[-1]),
-                    "doc_ids": delta_encode(doc_ids),
-                    "tfs": pack_floats_as_ints(tfs),
-                    "token_lens": pack_floats_as_ints(dls),
-                    "positions": pos_bin,
-                    "norm_max": np.float32(norm.max() if len(norm) else 0.0),
-                }
-            )
-
         def flush(pdf: pd.DataFrame, final: bool) -> pd.DataFrame | None:
             nonlocal buf
             if pdf is not None:
@@ -163,12 +134,69 @@ def build_blocks(index: Index, doc_block_bits: int = 13) -> DataFrame:
                 buf = []
             if all_df.empty:
                 return None
-            rows: list[dict] = []
-            for key, g in all_df.groupby(
-                ["term", "block_id", "is_label"], sort=False
-            ):
-                emit(rows, g, key)
-            return pd.DataFrame(rows) if rows else None
+            # numpy segment sweep — one lexsort + reduceat instead of a
+            # pandas group iterator: per-group pandas column access was
+            # ~80% of pack wall (profiled), the codec only ~20%
+            term_codes, term_uniq = pd.factorize(all_df["term"], sort=False)
+            bl = all_df["block_id"].to_numpy(np.int64)
+            lb = all_df["is_label"].to_numpy(bool)
+            dc = all_df["doc_id"].to_numpy(np.int64)
+            tf = all_df["tf"].to_numpy(np.float32)
+            dl = all_df["token_len"].to_numpy(np.float32)
+            pos = all_df["positions"].to_numpy() if locs else None
+            order = np.lexsort((dc, lb.astype(np.int8), bl, term_codes))
+            tc_s, bl_s, lb_s = term_codes[order], bl[order], lb[order]
+            dc_s, tf_s, dl_s = dc[order], tf[order], dl[order]
+            pos_s = pos[order] if locs else None
+            change = (
+                np.flatnonzero(
+                    (np.diff(tc_s) != 0)
+                    | (np.diff(bl_s) != 0)
+                    | (np.diff(lb_s.astype(np.int8)) != 0)
+                )
+                + 1
+            )
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(tc_s)]))
+            if avgdl:
+                norm_all = _norm_term(tf_s, dl_s, k1, b, avgdl)
+                norm_max = np.maximum.reduceat(norm_all, starts)
+            else:
+                norm_max = np.zeros(len(starts))
+            terms_arr = term_uniq.to_numpy() if hasattr(term_uniq, "to_numpy") else np.asarray(term_uniq)
+            out = {
+                "term": terms_arr[tc_s[starts]],
+                "block_id": bl_s[starts],
+                "is_label": lb_s[starts],
+                "n": (ends - starts).astype(np.int32),
+                "first_doc_id": dc_s[starts],
+                "last_doc_id": dc_s[ends - 1],
+                "doc_ids": [
+                    delta_encode(dc_s[s0:e0]) for s0, e0 in zip(starts, ends)
+                ],
+                "tfs": [
+                    pack_floats_as_ints(tf_s[s0:e0])
+                    for s0, e0 in zip(starts, ends)
+                ],
+                "token_lens": [
+                    pack_floats_as_ints(dl_s[s0:e0])
+                    for s0, e0 in zip(starts, ends)
+                ],
+                "positions": (
+                    [
+                        None
+                        if lb_s[s0]
+                        else pack_position_lists(
+                            [p if p is not None else [] for p in pos_s[s0:e0]]
+                        )
+                        for s0, e0 in zip(starts, ends)
+                    ]
+                    if locs
+                    else [None] * len(starts)
+                ),
+                "norm_max": norm_max.astype(np.float32),
+            }
+            return pd.DataFrame(out)
 
         for pdf in batches:
             out = flush(pdf[cols], final=False)
