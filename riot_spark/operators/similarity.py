@@ -190,6 +190,51 @@ def ivf_assign(
     )
 
 
+def ivf_write(
+    embeddings: DataFrame,
+    centroids: dict[int, list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the table partitioned BY inverted list (cid): the
+    build-time form of IVF.  A probe query then reads only its
+    `nprobe` partitions — partition pruning happens in the file index,
+    before any vector is touched."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    (
+        embeddings.join(
+            assigned.withColumnRenamed("id", id_col), id_col
+        )
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
+def ivf_read_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: dict[int, list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the partitioned IVF store: pick the `nprobe` centroids
+    nearest the query, scan ONLY those cid partitions, exact-rerank."""
+    qn = math.sqrt(sum(float(v) ** 2 for v in query_vec))
+
+    def qcos(cvec: list[float]) -> float:
+        cn = math.sqrt(sum(v * v for v in cvec))
+        return sum(a * b for a, b in zip(query_vec, cvec)) / (cn * qn)
+
+    probe = sorted(centroids, key=lambda c: (-qcos(centroids[c]), c))[:nprobe]
+    pool = spark.read.parquet(path).where(F.col("cid").isin(probe))
+    return cosine_topk(pool, query_vec, k, id_col, vec_col)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],

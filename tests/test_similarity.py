@@ -1,0 +1,41 @@
+"""Similarity operators beyond the driver-oracle gate: the partitioned
+IVF store (build-time inverted lists) must prune partitions and match
+the in-memory IVF query exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from riot_spark.operators.similarity import (
+    ivf_read_topk,
+    ivf_topk,
+    ivf_write,
+)
+from riot_spark.sources.corpus import load_embeddings
+
+from tests.conftest import SF_SMOKE
+
+CENTROID_IDS = [0, 7, 23, 41, 77, 113, 151, 199]
+
+
+def test_partitioned_ivf_matches_inline(spark, tmp_path):
+    emb = load_embeddings(spark, SF_SMOKE)
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id").isin(CENTROID_IDS)).collect()
+    }
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    ivf_write(emb, cents, path)
+
+    got = ivf_read_topk(spark, path, qvec, cents, k=10, nprobe=2)
+    want = ivf_topk(emb, qvec, CENTROID_IDS, k=10, nprobe=2).collect()
+    rows = got.collect()
+    assert [(r["vec_id"], r["cosine"]) for r in rows] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+
+    # the probe filter must prune at the FILE level: PartitionFilters
+    # carries the cid membership, so non-probed lists are never read
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:120]
