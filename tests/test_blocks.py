@@ -106,6 +106,28 @@ def test_write_read_resume(tmp_path, spark, sf_index, bindex):
     ]
 
 
+def test_persisted_blocks_serve_proximity(tmp_path, spark, locs_sf_index, locs_bindex):
+    """Packed positions must survive the write/read round-trip: the
+    reloaded index serves proximity + snippets identically."""
+    path = str(tmp_path / "locs_bidx")
+    write_blocked_index(locs_bindex, path, input_paths=[], config_repr="locs")
+    bi = read_blocked_index(spark, path)
+    assert bi.has_positions
+    got = BlockSearchEngine(bi).search_and(
+        ["data", "query"], proximity=True
+    ).collect()
+    want = BlockSearchEngine(locs_bindex).search_and(
+        ["data", "query"], proximity=True
+    ).collect()
+    assert sorted(
+        (r["doc_id"], np.float32(r["score"]), r["proximity"],
+         list(r["snippet_locs"] or [])) for r in got
+    ) == sorted(
+        (r["doc_id"], np.float32(r["score"]), r["proximity"],
+         list(r["snippet_locs"] or [])) for r in want
+    )
+
+
 def test_deterministic_rebuild(spark, sf_index):
     """Same input twice => identical block contents (resume invariant)."""
     b1 = blocked_from_index(sf_index, doc_block_bits=6, cache=False)
