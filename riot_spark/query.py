@@ -851,7 +851,6 @@ class SearchEngine:
         Proximity criteria then rewrites scores columnar, and one
         window ranks + slices every query.
         """
-        from pyspark.sql.window import Window
 
         idx = self.index
         spark = self._spark()
