@@ -37,6 +37,9 @@ def timed(fn, repeats: int = 3) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # the bench caches freq + locs + block indexes in one JVM; the 8g
+    # default heap turns late measurements GC-bound
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     spark = get_spark("riot_spark_bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
