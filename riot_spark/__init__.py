@@ -20,17 +20,27 @@ from riot_spark.config import BM25Params, EngineConfig
 from riot_spark.build import IndexBuilder, build_index, build_index_from_tokens
 from riot_spark.engine import Engine, remove_docs
 from riot_spark.query import SearchEngine, SearchRequest
+from riot_spark.blocks import (
+    BlockSearchEngine,
+    blocked_from_index,
+    read_blocked_index,
+    write_blocked_index,
+)
 
 __all__ = [
     "BM25Params",
+    "BlockSearchEngine",
     "Engine",
     "EngineConfig",
     "IndexBuilder",
+    "blocked_from_index",
     "build_index",
     "build_index_from_tokens",
+    "read_blocked_index",
     "remove_docs",
     "SearchEngine",
     "SearchRequest",
+    "write_blocked_index",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
