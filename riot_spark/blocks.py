@@ -313,9 +313,14 @@ class BlockSearchEngine:
         keywords: list[str],
         dfs: dict[str, int],
         do_prox: bool,
+        whitelist: np.ndarray | None = None,
+        f64: bool = False,
     ):
         """Build the per-block-group AND/BM25(/proximity) kernel —
-        shared by search_and and the budgeted (Q13) walk."""
+        shared by search_and, the budgeted (Q13) walk, and the batch
+        executor.  `whitelist` (sorted int64) keeps only those doc ids
+        (Q3, applied right after the intersection); `f64` scores in
+        float64 for double-precision oracle parity."""
         bi = self.bi
         kw_set = set(keywords)
         n_kw = len(kw_set)
@@ -325,7 +330,14 @@ class BlockSearchEngine:
         locs = bi.has_positions
         n_tok = len(tok_list)
 
-        from riot_spark.oracle import bm25_score_f32_vec, token_proximity
+        from riot_spark.oracle import (
+            bm25_score_f32_vec,
+            bm25_score_f64_vec,
+            token_proximity,
+        )
+
+        score_fn = bm25_score_f64_vec if f64 else bm25_score_f32_vec
+        score_dtype = np.float64 if f64 else np.float32
 
         # plain-function refs: the kernel closure must NOT capture self
         # (it holds DataFrames -> SparkContext -> PicklingError)
@@ -333,7 +345,7 @@ class BlockSearchEngine:
         member = BlockSearchEngine._member
 
         empty_cols = {"doc_id": np.array([], np.int64),
-                      "score": np.array([], np.float32)}
+                      "score": np.array([], score_dtype)}
         if do_prox:
             empty_cols["proximity"] = np.array([], np.int32)
             empty_cols["snippet_locs"] = []
@@ -365,6 +377,10 @@ class BlockSearchEngine:
             cur = kw_ids(ordered[0])
             for t in ordered[1:]:
                 cur = cur[np.isin(cur, kw_ids(t), assume_unique=True)]
+                if cur.size == 0:
+                    return empty
+            if whitelist is not None:
+                cur = cur[np.isin(cur, whitelist, assume_unique=True)]
                 if cur.size == 0:
                     return empty
             # gather tf / token_len aligned to cur, in query-token order
@@ -406,11 +422,9 @@ class BlockSearchEngine:
                             dls = unpack_ints_as_floats(bytes(r["token_lens"]))
                             fill = (dl == 0) & found
                             dl = np.where(fill, dls[safe], dl).astype(np.float32)
-            scores = bm25_score_f32_vec(
-                tf_cols, df_list, dl, n_docs, avgdl, params
-            )
+            scores = score_fn(tf_cols, df_list, dl, n_docs, avgdl, params)
             if locs:
-                scores = np.where(unscor, np.float32(0.0), scores)
+                scores = np.where(unscor, score_dtype(0.0), scores)
             out = {"doc_id": cur.astype("int64"), "score": scores}
             if do_prox:
                 prox = np.full(cur.size, -1, dtype=np.int32)
@@ -521,6 +535,18 @@ class BlockSearchEngine:
             sorted(set(must)), sorted(set(should_p)), sorted(set(notin_p))
         )
         all_terms = sorted(set(must_set) | set(should_set) | set(notin_set))
+        kernel = self._make_logic_kernel(must_set, should_set, notin_set)
+        matched = bi.blocks.where(F.col("term").isin(all_terms))
+        return matched.groupBy("block_id").applyInPandas(kernel, out_schema)
+
+    @staticmethod
+    def _make_logic_kernel(
+        must_set: list[str], should_set: list[str], notin_set: list[str]
+    ):
+        """Per-doc-range must/should/notIn set-algebra kernel — shared
+        by search_logic and the batch executor.  Correct per group
+        because all of a doc's postings for the referenced terms share
+        its block_id."""
         decode_ids = BlockSearchEngine._decode_ids
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -569,8 +595,308 @@ class BlockSearchEngine:
                     cur = cur[~np.isin(cur, np.unique(np.concatenate(ni)))]
             return pd.DataFrame({"doc_id": cur.astype("int64")})
 
-        matched = bi.blocks.where(F.col("term").isin(all_terms))
-        return matched.groupBy("block_id").applyInPandas(kernel, out_schema)
+        return kernel
+
+    # --------------------------------------------------------- batch
+
+    def search_batch(
+        self, requests: dict, double_scores: bool = False
+    ) -> DataFrame:
+        """Batched multi-query execution ON THE PACKED BLOCK LAYOUT —
+        the QPS story on the index that exists at 100 TB (the flat
+        postings are a correctness twin you cannot afford to keep at
+        scale).
+
+        One block scan per shape family: all AND/BM25 queries (labels,
+        DocIds whitelist, ReverseOrder, offset) share a broadcast
+        (query_id, term) join and ONE applyInPandas pass keyed by
+        (query_id, block_id) — each group decodes, intersects and
+        scores independently, so hot terms spread across doc-range
+        blocks with no single-reducer skew; ranking uses the same
+        skew-proof partial top-k as the flat batch.  Logic
+        must/should/notIn (+ orderless rides as must) is a second
+        keyed pass; CountDocsOnly a third (no tf decode).
+
+        Returns (query_id, doc_id, score, rank) like
+        SearchEngine.search_batch: count rows as doc_id = NULL /
+        score = match count / rank = 0; unsupported shapes raise
+        ValueError (never silently dropped)."""
+        from riot_spark.query import SearchEngine, SearchRequest
+
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        score_type = "DOUBLE" if double_scores else "FLOAT"
+        and_q: dict[str, SearchRequest] = {}
+        logic_q: dict[str, SearchRequest] = {}
+        count_q: dict[str, SearchRequest] = {}
+        for qid, req in requests.items():
+            is_logic = bool(req.must or req.should or req.not_in)
+            plain = not req.count_docs_only and not req.orderless
+            if not is_logic:
+                if req.count_docs_only:
+                    if req.doc_ids is not None:
+                        raise ValueError(
+                            f"{qid!r}: CountDocsOnly+whitelist is not "
+                            "batchable on the block path"
+                        )
+                    count_q[qid] = req
+                elif req.orderless:
+                    if req.doc_ids is not None:
+                        raise ValueError(
+                            f"{qid!r}: orderless+whitelist is not "
+                            "batchable on the block path"
+                        )
+                    logic_q[qid] = SearchRequest(
+                        must=req.all_tokens() + list(req.labels)
+                    )
+                elif req.criteria == "bm25":
+                    and_q[qid] = req
+                else:
+                    raise ValueError(
+                        f"{qid!r}: criteria={req.criteria!r} is not "
+                        "batchable on the block path (use search_and"
+                        "(proximity=True) per query)"
+                    )
+            elif (
+                plain
+                and not req.reverse_order
+                and req.doc_ids is None
+                and req.criteria == "bm25"
+            ):
+                logic_q[qid] = req
+            else:
+                raise ValueError(
+                    f"{qid!r}: unsupported logic-request combination "
+                    "on the block path"
+                )
+
+        parts: list[DataFrame] = []
+
+        if and_q:
+            all_kw: set[str] = set()
+            for req in and_q.values():
+                all_kw |= set(req.all_tokens()) | set(req.labels)
+            dfs = bi.lookup_terms(sorted(all_kw))
+            kernels: dict = {}
+            qrows: list[tuple] = []
+            meta_rows: list[tuple] = []
+            for qid, req in and_q.items():
+                tokens = req.all_tokens()
+                keywords = tokens + [t for t in req.labels if t not in tokens]
+                if not keywords or any(t not in dfs for t in keywords):
+                    continue  # missing keyword => empty (indexer.go:423-427)
+                wl = None
+                if req.doc_ids is not None:
+                    wl = np.unique(
+                        np.asarray([int(d) for d in req.doc_ids], np.int64)
+                    )
+                kernels[qid] = self._make_and_kernel(
+                    tokens, keywords, dfs, False,
+                    whitelist=wl, f64=double_scores,
+                )
+                qrows.extend((qid, t) for t in set(keywords))
+                meta_rows.append(
+                    (qid, int(req.max_outputs), int(req.offset),
+                     bool(req.reverse_order))
+                )
+            if qrows:
+                out_schema = f"query_id STRING, doc_id LONG, score {score_type}"
+
+                def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
+                    qid = pdf["query_id"].iloc[0]
+                    out = kernels[qid](pdf)
+                    out.insert(0, "query_id", qid)
+                    return out
+
+                qterms = spark.createDataFrame(
+                    qrows, "query_id STRING, term STRING"
+                )
+                matched = bi.blocks.where(
+                    F.col("term").isin(sorted({t for _, t in qrows}))
+                ).join(F.broadcast(qterms), "term")
+                scored = matched.groupBy("query_id", "block_id").applyInPandas(
+                    dispatch, out_schema
+                )
+                meta = spark.createDataFrame(
+                    meta_rows, "query_id STRING, k INT, qoffset INT, rev BOOLEAN"
+                )
+                dir_col = F.when(F.col("rev"), F.lit(-1.0)).otherwise(F.lit(1.0))
+                score_col = (
+                    F.round(F.col("score"), 4)
+                    if double_scores
+                    else F.col("score")
+                )
+                parts.append(
+                    SearchEngine._rank_slice(
+                        scored.join(F.broadcast(meta), "query_id").select(
+                            "query_id", "doc_id", score_col.alias("score"),
+                            "k", "qoffset", dir_col.alias("dir"),
+                        ),
+                        partial=any(r.max_outputs for r in and_q.values()),
+                    )
+                )
+
+        if logic_q:
+            ranked = self._logic_batch_exec(logic_q, score_type)
+            if ranked is not None:
+                parts.append(ranked)
+
+        if count_q:
+            counted = self._count_batch_exec(count_q, score_type)
+            if counted is not None:
+                parts.append(counted)
+
+        if not parts:
+            return spark.createDataFrame(
+                [], f"query_id STRING, doc_id LONG, score {score_type}, rank INT"
+            )
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _logic_batch_exec(
+        self, requests: dict, score_type: str
+    ) -> DataFrame | None:
+        """All logic queries as ONE keyed kernel pass over the blocks
+        (LogicLookup Q7 batched on the packed layout).  Logic results
+        carry no BM25 (score 0, ranked by doc_id) — the all-equal
+        scores make the shared _rank_slice order collapse to doc_id
+        asc, so ranking reuses the skew-proof partial top-k."""
+        from riot_spark.query import SearchEngine
+
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        all_terms: set[str] = set()
+        for req in requests.values():
+            all_terms |= set(req.must) | set(req.should) | set(req.not_in)
+        present = bi.lookup_terms(sorted(all_terms))
+        kernels: dict = {}
+        qrows: list[tuple] = []
+        meta_rows: list[tuple] = []
+        for qid, req in requests.items():
+            must = sorted(set(req.must))
+            should_p = sorted({t for t in req.should if t in present})
+            notin_p = sorted({t for t in req.not_in if t in present})
+            if any(t not in present for t in must):
+                continue  # missing must term => empty
+            if req.should and not should_p:
+                continue  # every should term absent => empty
+            if not must and not req.should and not notin_p:
+                continue
+            kernels[qid] = self._make_logic_kernel(must, should_p, notin_p)
+            qrows.extend(
+                (qid, t) for t in set(must) | set(should_p) | set(notin_p)
+            )
+            meta_rows.append((qid, int(req.max_outputs), int(req.offset)))
+        if not qrows:
+            return None
+
+        def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = pdf["query_id"].iloc[0]
+            out = kernels[qid](pdf)
+            out.insert(0, "query_id", qid)
+            return out
+
+        qterms = spark.createDataFrame(qrows, "query_id STRING, term STRING")
+        matched = bi.blocks.where(
+            F.col("term").isin(sorted({t for _, t in qrows}))
+        ).join(F.broadcast(qterms), "term")
+        cand = matched.groupBy("query_id", "block_id").applyInPandas(
+            dispatch, "query_id STRING, doc_id LONG"
+        )
+        meta = spark.createDataFrame(
+            meta_rows, "query_id STRING, k INT, qoffset INT"
+        )
+        return SearchEngine._rank_slice(
+            cand.join(F.broadcast(meta), "query_id").select(
+                "query_id", "doc_id",
+                F.lit(0.0).cast(score_type).alias("score"),
+                "k", "qoffset", F.lit(1.0).alias("dir"),
+            ),
+            partial=any(r.max_outputs for r in requests.values()),
+        )
+
+    def _count_batch_exec(
+        self, requests: dict, score_type: str
+    ) -> DataFrame | None:
+        """All CountDocsOnly queries as one keyed must-intersection
+        pass (no tf decode); one row per query (query_id,
+        doc_id = NULL, score = match count, rank = 0), count 0 for
+        missing keywords — the flat batch contract."""
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        all_kw: set[str] = set()
+        for req in requests.values():
+            all_kw |= set(req.all_tokens()) | set(req.labels)
+        present = bi.lookup_terms(sorted(all_kw))
+        kernels: dict = {}
+        qrows: list[tuple] = []
+        zero_qids: list[str] = []
+        for qid, req in requests.items():
+            keywords = sorted(set(req.all_tokens()) | set(req.labels))
+            if not keywords or any(t not in present for t in keywords):
+                zero_qids.append(qid)  # missing keyword => count 0
+                continue
+            kernels[qid] = self._make_logic_kernel(keywords, [], [])
+            qrows.extend((qid, t) for t in keywords)
+        out = None
+        if qrows:
+
+            def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
+                qid = pdf["query_id"].iloc[0]
+                res = kernels[qid](pdf)
+                res.insert(0, "query_id", qid)
+                return res
+
+            qterms = spark.createDataFrame(
+                qrows, "query_id STRING, term STRING"
+            )
+            matched = bi.blocks.where(
+                F.col("term").isin(sorted({t for _, t in qrows}))
+            ).join(F.broadcast(qterms), "term")
+            counts = (
+                matched.groupBy("query_id", "block_id")
+                .applyInPandas(dispatch, "query_id STRING, doc_id LONG")
+                .groupBy("query_id")
+                .agg(F.count("*").alias("cnt"))
+            )
+            all_qids = spark.createDataFrame(
+                [(q,) for q in requests if q not in zero_qids],
+                "query_id STRING",
+            )
+            out = all_qids.join(counts, "query_id", "left").select(
+                "query_id",
+                F.lit(None).cast("long").alias("doc_id"),
+                F.coalesce("cnt", F.lit(0)).cast(score_type).alias("score"),
+                F.lit(0).alias("rank"),
+            )
+        if zero_qids:
+            zeros = spark.createDataFrame(
+                [(q,) for q in zero_qids], "query_id STRING"
+            ).select(
+                "query_id",
+                F.lit(None).cast("long").alias("doc_id"),
+                F.lit(0).cast(score_type).alias("score"),
+                F.lit(0).alias("rank"),
+            )
+            out = zeros if out is None else out.unionByName(zeros)
+        return out
+
+    def search(self, req) -> DataFrame:
+        """Single-request twin of SearchEngine.search on the packed
+        layout — serves the full riot request-shape surface
+        (types/search_request.go:19-54): DocIds whitelist, offset,
+        ReverseOrder, CountDocsOnly, orderless, logic, labels.
+        Output shapes mirror the flat engine: count -> (num_docs),
+        orderless/logic -> (doc_id), ranked -> (doc_id, score)."""
+        dbl = bool(getattr(req, "double_scores", False))
+        res = self.search_batch({"q": req}, double_scores=dbl)
+        if req.count_docs_only:
+            return res.select(F.col("score").cast("long").alias("num_docs"))
+        if req.orderless or req.must or req.should or req.not_in:
+            return res.select("doc_id")
+        return res.orderBy("rank").select("doc_id", "score")
 
     def _wand_topk(
         self,
@@ -628,6 +954,12 @@ class BlockSearchEngine:
             .cache()
         )
         out_schema = "doc_id LONG, score FLOAT"
+        # float32 rounding margin for the termination test: the kernel
+        # accumulates ~n_tok float32 adds, each <= 0.5 ulp (2**-24)
+        # relative, so worst-case drift grows with the term count;
+        # 2**-20 per term keeps 16x headroom over the bound (a fixed
+        # 1e-6 could in principle be outgrown by a very long query).
+        eps = max(1.0, float(len(tok_list))) * 2.0**-20
         timed_out = False
         try:
             n_groups = meta_df.count()
@@ -686,15 +1018,15 @@ class BlockSearchEngine:
                 last_blk = int(body[-1]["block_id"])
                 next_bound = float(peek[0]["bound"])
                 take = min(take * 4, take_max)
-                # kth result must beat every remaining bound by a
-                # float32 rounding margin: the kernel accumulates in
-                # float32, so an actual score can exceed its group's
-                # (float64-assembled) bound by a few ulps — without the
-                # epsilon a group holding a true top-k doc could be
-                # pruned inside that sliver.
+                # kth result must beat every remaining bound by the
+                # term-count-scaled float32 margin: the kernel
+                # accumulates in float32, so an actual score can exceed
+                # its group's (float64-assembled) bound by ~n_tok ulps —
+                # without the epsilon a group holding a true top-k doc
+                # could be pruned inside that sliver.
                 if (
                     len(best) >= k
-                    and -best[k - 1][0] > next_bound * (1.0 + 1e-6) + 1e-6
+                    and -best[k - 1][0] > next_bound * (1.0 + eps) + eps
                 ):
                     break
             return (
@@ -796,8 +1128,17 @@ def write_blocked_index(
 def read_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
     g = spark.read.parquet(f"{path}/global_stats").collect()[0]
     row = g.asDict()
+    blocks = spark.read.parquet(f"{path}/blocks")
+    # forward-compat with pre-0.2 block parquet (no label rows, no
+    # packed positions): default the absent columns so the kernels'
+    # is_label / positions references stay analyzable, instead of
+    # failing at analysis time with no migration path
+    if "is_label" not in blocks.columns:
+        blocks = blocks.withColumn("is_label", F.lit(False))
+    if "positions" not in blocks.columns:
+        blocks = blocks.withColumn("positions", F.lit(None).cast("binary"))
     return BlockedIndex(
-        blocks=spark.read.parquet(f"{path}/blocks"),
+        blocks=blocks,
         term_stats=spark.read.parquet(f"{path}/term_stats"),
         n_docs=int(g["n_docs"]),
         avgdl=float(g["avgdl"]),

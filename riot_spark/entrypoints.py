@@ -260,6 +260,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (broadcast query-terms join + window top-k per query)
     q["ft_batch_topk"] = _ft_batch_topk
     q["ft_batch_logic"] = _ft_batch_logic
+    # the same batch executor on the packed block layout — the QPS
+    # story on the index that exists at 100 TB
+    q["ft_block_batch_topk"] = _ft_block_batch_topk
+    q["ft_block_batch_logic"] = _ft_block_batch_logic
+    # block-path request-shape parity: whitelist / offset /
+    # ReverseOrder / CountDocsOnly / orderless on the packed layout
+    q["ft_block_whitelist"] = _ft_block_whitelist
+    q["ft_block_offset_limit"] = _ft_block_offset_limit
+    q["ft_block_reverse_order"] = _ft_block_reverse_order
+    q["ft_block_count_only"] = _ft_block_count_only
+    q["ft_block_orderless"] = _ft_block_orderless
 
     # token proximity (Q5, core/indexer.go:723-813): 2-term DP =
     # min over position pairs |p2 - p1 - bytelen(t1)| — SQL-expressible
@@ -281,6 +292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # same index state as a one-shot batch build — the oracle is the
     # batch tokenization itself
     q["stream_compact_df"] = _stream_compact_df
+    # streaming state compacts into the PACKED BLOCK layout (VERDICT
+    # r2 #7): segments+tombstones -> blocked_from_index handoff; the
+    # oracle is the batch block query (ft_block_and2)
+    q["stream_block_and2"] = _stream_block_and2
     # stateful streaming first-seen dedup (applyInPandasWithState):
     # two real micro-batches; one surviving row per fingerprint
     q["stream_first_seen"] = _stream_first_seen
@@ -331,6 +346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # IVF ANN: centroids are table rows (deterministic), assignment =
     # argmax cosine, probe 2 of 8 lists, exact re-rank
     q["sim_ivf_topk"] = _sim_ivf_topk
+    # IVF with TRAINED centroids: deterministic distributed Lloyd's
+    # (integer-quantized means, md5-seeded) — the oracle RE-TRAINS
+    # independently in SQL and must land on identical clusters
+    q["sim_ivf_kmeans"] = _sim_ivf_kmeans
     return q
 
 
@@ -447,6 +466,77 @@ def _ft_batch_logic(spark, sf) -> DataFrame:
     return res.select(
         "query_id", "doc_id", F.col("rank").cast("long").alias("rank")
     )
+
+
+def _ft_block_batch_topk(spark, sf) -> DataFrame:
+    """The batch QPS story ON THE PACKED BLOCK LAYOUT (VERDICT r2 #2):
+    the same reference query set as ft_batch_topk, executed by
+    BlockSearchEngine.search_batch — one keyed Arrow kernel pass over
+    the blocks, scored in float64 for oracle parity."""
+    eng = _block_engine(spark, sf)
+    reqs = {
+        qid: SearchRequest(tokens=terms, max_outputs=k, offset=off)
+        for qid, terms, k, off in BATCH_QUERIES
+    }
+    res = eng.search_batch(reqs, double_scores=True)
+    return res.select(
+        "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _ft_block_batch_logic(spark, sf) -> DataFrame:
+    eng = _block_engine(spark, sf)
+    reqs = {
+        qid: SearchRequest(must=m, should=s, not_in=n, max_outputs=k, offset=off)
+        for qid, m, s, n, k, off in BATCH_LOGIC_QUERIES
+    }
+    res = eng.search_batch(reqs)
+    return res.select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _block_search(spark, sf, req: SearchRequest) -> DataFrame:
+    req.double_scores = True
+    res = _block_engine(spark, sf).search(req)
+    if "score" in res.columns:
+        res = res.select("doc_id", F.col("score").cast("double").alias("score"))
+    return res
+
+
+# block-path request-shape parity (VERDICT r2 #5): the five shapes the
+# flat engine serves must work on the packed layout with identical
+# values (types/search_request.go:19-54 is ONE struct in the reference
+# and all of it works on its single index)
+def _ft_block_whitelist(spark, sf) -> DataFrame:
+    return _block_search(
+        spark, sf, SearchRequest(text="data", doc_ids=WL, max_outputs=10)
+    )
+
+
+def _ft_block_offset_limit(spark, sf) -> DataFrame:
+    return _block_search(
+        spark, sf, SearchRequest(text="data query", offset=5, max_outputs=5)
+    )
+
+
+def _ft_block_reverse_order(spark, sf) -> DataFrame:
+    return _block_search(
+        spark, sf,
+        SearchRequest(text="data query", max_outputs=10, reverse_order=True),
+    )
+
+
+def _ft_block_count_only(spark, sf) -> DataFrame:
+    return _block_engine(spark, sf).search(
+        SearchRequest(text="data query", count_docs_only=True)
+    )
+
+
+def _ft_block_orderless(spark, sf) -> DataFrame:
+    return _block_engine(spark, sf).search(
+        SearchRequest(text="group order", orderless=True)
+    ).orderBy("doc_id")
 
 
 def _logic_rank_sql(
@@ -634,6 +724,34 @@ def _stream_compact_df(spark, sf) -> DataFrame:
         return out
 
 
+def _stream_block_and2(spark, sf) -> DataFrame:
+    """Streaming state compacted into the PACKED BLOCK layout: two
+    micro-batches (doc_id parity), compact_to_blocks, then the block
+    engine's AND — must equal the one-shot batch block index
+    (ft_block_and2's oracle)."""
+    import tempfile
+
+    from riot_spark.blocks import BlockSearchEngine
+    from riot_spark.streaming.incremental import StreamingIndexer
+
+    docs = load_documents(spark, sf).select("doc_id", "text")
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    with tempfile.TemporaryDirectory() as tmp:
+        ixer = StreamingIndexer(spark, tmp, cfg)
+        ixer.process_batch(docs.where(F.col("doc_id") % 2 == 0), 0)
+        ixer.process_batch(docs.where(F.col("doc_id") % 2 == 1), 1)
+        bi = ixer.compact_to_blocks(doc_block_bits=8)
+        out = (
+            BlockSearchEngine(bi)
+            .search_and(["data", "query"])
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+        out = out.cache()
+        out.count()  # materialize before the tmpdir vanishes
+        return out
+
+
 _FS_SEQ = 0
 
 
@@ -785,6 +903,66 @@ def _sim_ivf_topk(spark, sf) -> DataFrame:
     emb = load_embeddings(spark, sf)
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
     return ivf_topk(emb, qvec, IVF_CENTROID_IDS, k=10, nprobe=2)
+
+
+def _sim_ivf_kmeans(spark, sf) -> DataFrame:
+    """IVF probe over TRAINED centroids (VERDICT r2 #8): Lloyd's k=4,
+    2 iterations, integer-quantized means so the SQL oracle's
+    independent re-training lands on bit-identical clusters."""
+    from riot_spark.operators.similarity import kmeans_ivf_topk
+
+    emb = load_embeddings(spark, sf)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    return kmeans_ivf_topk(emb, qvec, k=10, n_clusters=4, iters=2, nprobe=2)
+
+
+def _kmeans_ivf_sql(k: int = 4, nprobe: int = 2, topk: int = 10) -> str:
+    """DuckDB twin of kmeans_ivf_topk — re-trains from scratch.
+
+    Agreement is by construction: components quantize to BIGINT
+    (floor(x*65536+0.5)), so cluster means are exact integer-sum /
+    count rationals in any engine; seeds are the k smallest
+    md5(vec_id) hexes; assignment distances fold the same doubles
+    (ties -> smaller cid).  Mirrors similarity.kmeans_train /
+    kmeans_ivf_topk step for step."""
+    it = """
+d{n} AS (SELECT x.vec_id, c.cid, sum((x.q - c.m) * (x.q - c.m)) AS d
+       FROM x JOIN c{p} c ON x.j = c.j GROUP BY x.vec_id, c.cid),
+a{n} AS (SELECT vec_id, cid FROM d{n}
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+c{n} AS (SELECT a.cid, x.j, sum(x.q)::DOUBLE / count(*) AS m
+       FROM a{n} a JOIN x USING (vec_id) GROUP BY a.cid, x.j),"""
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+             CAST(floor(unnest(embedding)::DOUBLE * 65536.0 + 0.5) AS BIGINT) AS q
+      FROM e),
+seeds AS (SELECT vec_id, cid FROM (
+            SELECT vec_id, row_number() OVER (
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+            FROM e) WHERE cid < {k}),
+c0 AS (SELECT s.cid, x.j, x.q::DOUBLE AS m
+       FROM seeds s JOIN x ON s.vec_id = x.vec_id),{it.format(n=1, p=0)}{it.format(n=2, p=1)}
+-- final assignment under the TRAINED centroids c2 (kmeans_assign)
+d3 AS (SELECT x.vec_id, c.cid, sum((x.q - c.m) * (x.q - c.m)) AS d
+       FROM x JOIN c2 c ON x.j = c.j GROUP BY x.vec_id, c.cid),
+a3 AS (SELECT vec_id, cid FROM d3
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+qv AS (SELECT j, q::DOUBLE AS q FROM x WHERE vec_id = 1),
+pd AS (SELECT c.cid, sum((qv.q - c.m) * (qv.q - c.m)) AS d
+       FROM qv JOIN c2 c ON qv.j = c.j GROUP BY c.cid),
+probe AS (SELECT cid FROM pd ORDER BY d, cid LIMIT {nprobe}),
+pool AS (SELECT vec_id FROM a3 WHERE cid IN (SELECT cid FROM probe)),
+qe AS (SELECT embedding AS qemb FROM e WHERE vec_id = 1),
+p2 AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS xx,
+              unnest(qe.qemb)::DOUBLE AS y
+       FROM e JOIN pool USING (vec_id), qe)
+SELECT vec_id, cosine FROM (
+  SELECT vec_id,
+         round(sum(xx*y)/(sqrt(sum(xx*xx))*sqrt(sum(y*y))), 4) AS cosine
+  FROM p2 GROUP BY vec_id
+) ORDER BY cosine DESC, vec_id ASC LIMIT {topk}
+"""
 
 
 # ------------------------------------------------------------- oracles
@@ -942,6 +1120,9 @@ WITH {_TOKS_CTE}
 SELECT doc_id FROM tf WHERE term IN ('data','query')
 GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id
 """
+    # streaming->block compaction must converge to the one-shot block
+    # index: identical oracle
+    o["stream_block_and2"] = o["ft_block_and2"]
     # (ft_block_proximity2 oracle = ft_proximity2's SQL, assigned below)
     o["ft_block_logic"] = f"""
 WITH {_TOKS_CTE}
@@ -960,6 +1141,9 @@ GROUP BY doc_id ORDER BY doc_id
 WITH {_TOKS_CTE}
 {" UNION ALL ".join(_bm25_rank_sql(qid, terms, k, off) for qid, terms, k, off in BATCH_QUERIES)}
 """
+    o["ft_block_batch_topk"] = o["ft_batch_topk"]
+    o["ft_block_whitelist"] = _bm25_sql(["data"], k=10, whitelist=WL)
+    o["ft_block_offset_limit"] = _bm25_sql(["data", "query"], k=5, offset=5)
     o["ft_hydrated"] = f"""
 SELECT t.doc_id AS doc_id, t.score AS score, d.source AS source,
        d.n_chars AS n_chars
@@ -974,6 +1158,7 @@ WITH dtoks AS (
 )
 {" UNION ALL ".join(_logic_rank_sql(*qargs) for qargs in BATCH_LOGIC_QUERIES)}
 """
+    o["ft_block_batch_logic"] = o["ft_batch_logic"]
     # byte offset of word i = sum of (bytelen + 1 space) of all prior
     # split segments, INCLUDING empty segments (1 byte each) — matches
     # tokenize_text's position accounting exactly.
@@ -1010,6 +1195,9 @@ GROUP BY pa.doc_id ORDER BY doc_id
     o["ft_reverse_order"] = _bm25_sql(["data", "query"]).replace(
         "ORDER BY score DESC, doc_id ASC", "ORDER BY score ASC, doc_id DESC"
     ) + " LIMIT 10"
+    o["ft_block_reverse_order"] = o["ft_reverse_order"]
+    o["ft_block_count_only"] = o["ft_count_only"]
+    o["ft_block_orderless"] = o["ft_orderless"]
     # criteria=proximity: same match set as ft_proximity2, score
     # becomes 1/(proximity+1)
     o["ft_criteria_proximity"] = """
@@ -1237,6 +1425,7 @@ SELECT vec_id, cosine FROM (
   FROM p GROUP BY vec_id
 ) ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
+    o["sim_ivf_kmeans"] = _kmeans_ivf_sql(k=4, nprobe=2, topk=10)
     o["sim_lsh_neardup"] = _lsh_sql(num_planes=6, dim=EMB_DIM, threshold=0.35, id_max=200)
     o["sim_lsh_banded"] = _lsh_sql(
         num_planes=5, dim=EMB_DIM, threshold=0.35, id_max=200, bands=2

@@ -23,6 +23,10 @@ from urllib.parse import parse_qs, urlparse
 
 from riot_spark.query import SearchEngine, SearchRequest
 
+# cap accepted POST bodies — Content-Length is attacker-controlled
+# and fed to rfile.read()
+MAX_BODY_BYTES = 16 * 1024 * 1024
+
 
 def _handler(engine: SearchEngine | None, facade=None):
     # with a facade, search through it so post-flush snapshots are
@@ -48,12 +52,15 @@ def _handler(engine: SearchEngine | None, facade=None):
                 return self._json(200, {"status": "ok"})
             if url.path != "/search":
                 return self._json(404, {"error": "not found"})
-            q = parse_qs(url.query)
-            req = SearchRequest(
-                text=q.get("query", [""])[0],
-                offset=int(q.get("outputOffset", ["0"])[0]),
-                max_outputs=int(q.get("maxOutputs", ["10"])[0]),
-            )
+            try:
+                q = parse_qs(url.query)
+                req = SearchRequest(
+                    text=q.get("query", [""])[0],
+                    offset=int(q.get("outputOffset", ["0"])[0]),
+                    max_outputs=int(q.get("maxOutputs", ["10"])[0]),
+                )
+            except (ValueError, KeyError) as ex:
+                return self._json(400, {"error": f"bad request: {ex}"})
             rows = search(req).collect()
             return self._json(
                 200,
@@ -69,18 +76,27 @@ def _handler(engine: SearchEngine | None, facade=None):
             if facade is None:
                 return self._json(501, {"error": "read-only server"})
             url = urlparse(self.path)
-            n = int(self.headers.get("Content-Length", "0"))
-            payload = json.loads(self.rfile.read(n) or b"{}")
-            if url.path == "/index":
-                facade.index_doc(
-                    int(payload["doc_id"]),
-                    payload.get("content", ""),
-                    payload.get("labels"),
-                )
-                return self._json(200, {"indexed": True})
-            if url.path == "/delete":
-                facade.remove_doc(int(payload["doc_id"]))
-                return self._json(200, {"removed": True})
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                if n < 0 or n > MAX_BODY_BYTES:
+                    return self._json(
+                        413, {"error": f"body over {MAX_BODY_BYTES} bytes"}
+                    )
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("body must be a JSON object")
+                if url.path == "/index":
+                    facade.index_doc(
+                        int(payload["doc_id"]),
+                        payload.get("content", ""),
+                        payload.get("labels"),
+                    )
+                    return self._json(200, {"indexed": True})
+                if url.path == "/delete":
+                    facade.remove_doc(int(payload["doc_id"]))
+                    return self._json(200, {"removed": True})
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError) as ex:
+                return self._json(400, {"error": f"bad request: {ex}"})
             if url.path == "/flush":
                 facade.flush()
                 return self._json(200, {"flushed": True})

@@ -166,6 +166,190 @@ def lsh_neardup_pairs(
     )
 
 
+QUANT = 65536.0  # k-means quantization scale (16 fractional bits)
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[float]]:
+    """Deterministic distributed Lloyd's k-means — makes `ivf_write` a
+    real index build instead of a fixed-row fixture.
+
+    Everything is reproducible bit-for-bit, run to run AND engine to
+    engine (the DuckDB oracle re-trains independently and must land on
+    identical centroids):
+
+    * components quantize to integers (floor(x*65536+0.5)) so the
+      per-cluster mean is an exact BIGINT sum / count — summation
+      order, partitioning, and engine cannot change it;
+    * seeds are the k vectors with smallest md5(vec_id) hex — data-
+      driven, no RNG, identical in any engine with md5;
+    * per-row distance argmin folds the array in index order (one
+      codegen'd projection against literal centroids — no shuffle,
+      no Python), ties break to the smaller cid.
+
+    Per iteration the cluster sums are ONE partial-aggregated shuffle
+    of k*dim longs — at 10^12 vectors that is the map-side-combine
+    shape you want; only k*dim rows ever reach the driver."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * QUANT + 0.5).cast("double"),
+    )
+    qdf = embeddings.select(
+        F.col(id_col).alias("id"), q.alias("q")
+    ).persist()
+    try:
+        seeds = [
+            r["id"]
+            for r in qdf.select("id")
+            .orderBy(F.md5(F.col("id").cast("string").cast("binary")), "id")
+            .limit(k)
+            .collect()
+        ]
+        seed_rows = sorted(
+            qdf.where(F.col("id").isin(seeds)).collect(),
+            key=lambda r: seeds.index(r["id"]),
+        )
+        cents: dict[int, list[float]] = {
+            cid: [float(x) for x in r["q"]]
+            for cid, r in enumerate(seed_rows)
+        }
+        for _ in range(iters):
+            assigned = qdf.select(
+                "id", "q", _kmeans_cid(cents).alias("cid")
+            )
+            sums = (
+                assigned.select(
+                    "cid", F.posexplode("q").alias("j", "x")
+                )
+                .groupBy("cid", "j")
+                .agg(
+                    F.sum(F.col("x").cast("long")).alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            new: dict[int, list[float]] = {}
+            for r in sums:
+                vec = new.setdefault(
+                    int(r["cid"]), [0.0] * len(next(iter(cents.values())))
+                )
+                vec[int(r["j"])] = float(r["s"]) / float(r["n"])
+            # empty cluster keeps its previous centroid
+            cents = {cid: new.get(cid, cents[cid]) for cid in cents}
+        return cents
+    finally:
+        qdf.unpersist()
+
+
+def _kmeans_cid(cents: dict[int, list[float]]):
+    """argmin_c sum_j (q_j - c_j)^2 as one literal-centroid expression;
+    tie -> smaller cid (struct least is lexicographic)."""
+    structs = []
+    for cid, cvec in sorted(cents.items()):
+        carr = F.array(*[F.lit(float(v)) for v in cvec])
+        d = F.aggregate(
+            F.zip_with(F.col("q"), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(cid).cast("long").alias("cid")))
+    best = F.least(*structs) if len(structs) > 1 else structs[0]
+    return best["cid"]
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    cents: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid) under the trained quantized-space centroids."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * QUANT + 0.5).cast("double"),
+    )
+    return embeddings.select(
+        F.col(id_col).alias("id"), q.alias("q")
+    ).select("id", _kmeans_cid(cents).alias("cid"))
+
+
+def kmeans_ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 4,
+    iters: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with TRAINED coarse centroids: Lloyd's over the corpus,
+    probe the nprobe nearest clusters (quantized-space distance), exact
+    cosine rerank inside them.  At build time pair with
+    `ivf_write(embeddings, kmeans-derived assignment...)` so the probe
+    is file-level partition pruning."""
+    cents = kmeans_train(embeddings, n_clusters, iters, id_col, vec_col)
+    qq = [float(math.floor(float(v) * QUANT + 0.5)) for v in query_vec]
+
+    def dist(cvec: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(qq, cvec))
+
+    probe = sorted(cents, key=lambda cid: (dist(cents[cid]), cid))[:nprobe]
+    assigned = kmeans_assign(embeddings, cents, id_col, vec_col)
+    cand = assigned.where(F.col("cid").isin(probe)).select("id")
+    pool = embeddings.join(
+        cand, embeddings[id_col] == cand["id"], "left_semi"
+    )
+    return cosine_topk(pool, query_vec, k, id_col, vec_col)
+
+
+def kmeans_ivf_write(
+    embeddings: DataFrame,
+    cents: dict[int, list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the table partitioned by TRAINED inverted list — the
+    real IVF index build (`kmeans_train` -> partitioned store).  A
+    probe then reads only its nprobe partitions via file-level
+    partition pruning, same as `ivf_write`."""
+    assigned = kmeans_assign(embeddings, cents, id_col, vec_col)
+    (
+        embeddings.join(assigned.withColumnRenamed("id", id_col), id_col)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
+def kmeans_ivf_read_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    cents: dict[int, list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the trained-IVF store: probe the nprobe nearest centroids
+    in quantized space, scan only those cid partitions, exact-rerank."""
+    qq = [float(math.floor(float(v) * QUANT + 0.5)) for v in query_vec]
+
+    def dist(cvec: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(qq, cvec))
+
+    probe = sorted(cents, key=lambda cid: (dist(cents[cid]), cid))[:nprobe]
+    pool = spark.read.parquet(path).where(F.col("cid").isin(probe))
+    return cosine_topk(pool, query_vec, k, id_col, vec_col)
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: dict[int, list[float]],

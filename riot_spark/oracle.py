@@ -85,6 +85,33 @@ def bm25_score_f32_vec(
     return scores
 
 
+def bm25_score_f64_vec(
+    tf_cols: list[np.ndarray],
+    dfs: list[int],
+    doc_lens: np.ndarray,
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params,
+) -> np.ndarray:
+    """Float64 twin of :func:`bm25_score_f32_vec` — matches the SQL
+    oracle's double-precision sum (round(4) on both sides makes
+    accumulation-order ulps irrelevant).  Used by the block batch
+    executor when double_scores is requested for oracle parity."""
+    d = doc_lens.astype(np.float64)
+    scores = np.zeros(d.shape, dtype=np.float64)
+    if avgdl == 0.0:
+        return scores
+    k1, b = float(params.k1), float(params.b)
+    for tf, df in zip(tf_cols, dfs):
+        if df <= 0:
+            continue
+        f = tf.astype(np.float64)
+        idf = np.log2(float(n_docs) / float(df) + 1.0)
+        contrib = idf * f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * d / avgdl))
+        scores = np.where(f > 0, scores + contrib, scores)
+    return scores
+
+
 def token_proximity(
     positions_per_token: list[list[int]], tokens: list[str]
 ) -> tuple[int, list[int]]:

@@ -550,19 +550,61 @@ class SearchEngine:
             .select("query_id", "doc_id", "score", "rank")
         )
 
-    @staticmethod
-    def _rank_slice(df: DataFrame) -> DataFrame:
+    # Buckets for the skew-proof partial top-k.  A hot query's
+    # candidates spread over this many reducers in phase 1, so the
+    # final per-query window ranks at most RANK_BUCKETS*(offset+k)
+    # rows — never the full candidate set.
+    RANK_BUCKETS = 32
+
+    @classmethod
+    def _partial_topk(cls, df: DataFrame, *order) -> DataFrame:
+        """Phase-1 partial reduction before a per-query window.
+
+        riot's per-shard rankers each slice [0, offset+max) BEFORE the
+        merge (ranker_worker.go:60-73, core/ranker.go:111-122); this is
+        the batch analogue: bucket each query's candidates by
+        hash(doc_id) and keep only the per-bucket top-(offset+k).  A
+        hot-term query (df ~ N) then never funnels its full candidate
+        set through one reducer task — the phase-2 window sees at most
+        RANK_BUCKETS*(offset+k) rows per query.  Exact: ordering is
+        total (doc_id unique per query), so every global top-(offset+k)
+        row survives its bucket's cut.  Rows with k == 0 (unlimited)
+        pass through uncapped."""
+        from pyspark.sql.window import Window
+
+        wp = Window.partitionBy("query_id", "rank_bucket").orderBy(*order)
+        return (
+            df.withColumn(
+                "rank_bucket",
+                F.pmod(F.xxhash64("doc_id"), F.lit(cls.RANK_BUCKETS)),
+            )
+            .withColumn("part_rank", F.row_number().over(wp))
+            .where(
+                (F.col("k") == 0)
+                | (F.col("part_rank") <= F.col("qoffset") + F.col("k"))
+            )
+            .drop("rank_bucket", "part_rank")
+        )
+
+    @classmethod
+    def _rank_slice(cls, df: DataFrame, partial: bool = True) -> DataFrame:
         """Per-query window rank + [offset, offset+k) slice over rows
         (query_id, doc_id, score, k, qoffset, dir).  One window serves
         both sort directions: multiplying (score, doc_id) by dir = -1
         inverts the ordering for ReverseOrder queries without a second
-        sort."""
+        sort.  `partial` inserts the :meth:`_partial_topk` bucketed
+        pre-reduction (skip it only when every request has k == 0,
+        where no cap is possible and the extra exchange buys nothing).
+        """
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy("query_id").orderBy(
+        order = [
             F.desc(F.col("score") * F.col("dir")),
             F.asc(F.col("doc_id") * F.col("dir")),
-        )
+        ]
+        if partial:
+            df = cls._partial_topk(df, *order)
+        w = Window.partitionBy("query_id").orderBy(*order)
         return (
             df.withColumn("rank", F.row_number().over(w))
             .where(
@@ -783,7 +825,8 @@ class SearchEngine:
                         "k",
                         "qoffset",
                         dir_col.alias("dir"),
-                    )
+                    ),
+                    partial=any(r.max_outputs for r in batchable.values()),
                 )
                 parts_df.append(ranked)
 
@@ -802,9 +845,43 @@ class SearchEngine:
             if ranked is not None:
                 parts_df.append(ranked)
 
+        from pyspark.sql.window import Window
+
+        score_t = "double" if double_scores else "float"
         for qid, req in fallback.items():
-            if req.count_docs_only or req.orderless:
-                continue  # rare fallback combos keep the legacy drop
+            # rare combos (count+whitelist, orderless+whitelist) route
+            # through per-query search() and union a count/candidate
+            # row — a caller can always distinguish 'no matches' (count
+            # 0 row / absent candidates after a real run) from a shape
+            # error (ValueError at submit, block path)
+            if req.count_docs_only:
+                r = self.search(req)
+                parts_df.append(
+                    r.select(
+                        F.lit(qid).alias("query_id"),
+                        F.lit(None).cast("long").alias("doc_id"),
+                        F.col("num_docs").cast(score_t).alias("score"),
+                        F.lit(0).alias("rank"),
+                    )
+                )
+                continue
+            if req.orderless:
+                r = self.search(req)
+                parts_df.append(
+                    r.select(
+                        F.lit(qid).alias("query_id"),
+                        "doc_id",
+                        F.lit(0.0).cast(score_t).alias("score"),
+                        F.row_number()
+                        .over(
+                            Window.partitionBy(F.lit(1)).orderBy(
+                                F.asc("doc_id")
+                            )
+                        )
+                        .alias("rank"),
+                    )
+                )
+                continue
             r = self.search(req)
             if set(r.columns) == {"doc_id"}:
                 continue
@@ -959,7 +1036,8 @@ class SearchEngine:
             res.select(
                 "query_id", "doc_id", score.alias("score"),
                 "k", "qoffset", dir_col.alias("dir"),
-            )
+            ),
+            partial=any(r.max_outputs for r in requests.values()),
         )
 
     def _count_batch_exec(
@@ -1109,16 +1187,20 @@ class SearchEngine:
             & (~F.col("has_should") | (F.col("ns") > 0))
             & (F.col("nn") == 0)
         )
+        kept = grouped.where(keep).select(
+            "query_id",
+            "doc_id",
+            F.lit(0.0).cast("float").alias("score"),
+            "k",
+            "qoffset",
+        )
+        if any(r.max_outputs for r in requests.values()):
+            # skew-proof phase 1 (same shape as _rank_slice): a hot
+            # must-term never ranks its full doc set in one task
+            kept = self._partial_topk(kept, F.asc("doc_id"))
         w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
         return (
-            grouped.where(keep)
-            .select(
-                "query_id",
-                "doc_id",
-                F.lit(0.0).cast("float").alias("score"),
-                "k",
-                "qoffset",
-            )
+            kept
             .withColumn("rank", F.row_number().over(w))
             .where(
                 (F.col("rank") > F.col("qoffset"))

@@ -167,9 +167,14 @@ def pages_to_documents(pages: DataFrame, n_parts: int | None = None) -> DataFram
     doc_id = (cumulative count of earlier ranges) + local row index.
     The only driver-side data is one count per partition (O(parts));
     no global window funnels 10^12 rows through one task.  The
-    partitioned frame is persisted so the count pass and the
-    assignment pass see identical range boundaries (at cluster scale
-    this is the staged parquet of the sorted corpus).
+    partitioned frame is eagerly localCheckpoint-ed so the count pass
+    and the assignment pass see the SAME materialized partitions —
+    range boundaries cannot drift on recompute, and the blocks are
+    reference-tracked (cleaned when the frame is released) instead of
+    pinned in the cache manager like persist() would be.  At cluster
+    scale this is the staged parquet of the sorted corpus (checkpoint
+    to durable storage instead: localCheckpoint data dies with a lost
+    executor).
     """
     import numpy as np
 
@@ -181,7 +186,7 @@ def pages_to_documents(pages: DataFrame, n_parts: int | None = None) -> DataFram
         .repartitionByRange(n_parts, "url")
         .sortWithinPartitions("url")
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["pid"]: r["cnt"]

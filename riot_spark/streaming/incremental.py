@@ -116,3 +116,45 @@ class StreamingIndexer:
         return build_index_from_tokens(
             toks, self.config, cache=cache, unique_postings=True
         )
+
+    def compact_to_blocks(
+        self,
+        doc_block_bits: int = 13,
+        store_path: str | None = None,
+    ):
+        """Compact the stream state into the PACKED BLOCK layout — the
+        index shape that exists at 100 TB (delta+PFOR blocks, WAND
+        metadata), not just the flat correctness twin.
+
+        With `store_path`, the blocked index persists through
+        `write_blocked_index` with the current segment/tombstone files
+        as the lineage fingerprint: re-compacting with no new
+        micro-batches is a manifest-skip no-op, and a restarted driver
+        resumes from the stored blocks instead of re-packing
+        (strictly better than riot's full re-index from the KV store,
+        store_worker.go:73-91).  Returns the BlockedIndex, or None if
+        no segments exist yet."""
+        from riot_spark.blocks import blocked_from_index, write_blocked_index
+
+        idx = self.build_live_index()
+        if idx is None:
+            return None
+        bi = blocked_from_index(idx, doc_block_bits=doc_block_bits)
+        if store_path is not None:
+            inputs = []
+            for sub in ("segments", "tombstones"):
+                d = f"{self.path}/{sub}"
+                if os.path.isdir(d):
+                    for root, _, files in os.walk(d):
+                        inputs.extend(
+                            os.path.join(root, f)
+                            for f in files
+                            if f.endswith(".parquet")
+                        )
+            write_blocked_index(
+                bi,
+                store_path,
+                input_paths=inputs,
+                config_repr=f"stream:{self.config!r}:{doc_block_bits}",
+            )
+        return bi

@@ -106,6 +106,35 @@ def test_write_read_resume(tmp_path, spark, sf_index, bindex):
     ]
 
 
+def test_read_old_format_blocks(tmp_path, spark, sf_index, bindex):
+    """A 0.1-format blocks parquet (no is_label / positions columns,
+    no has_positions stat) must read with defaults and still serve
+    queries — not fail at analysis time (ADVICE r2)."""
+    path = str(tmp_path / "old_bidx")
+    write_blocked_index(bindex, path, input_paths=[], config_repr="old")
+    # rewrite the store as the 0.1 layout: strip the 0.2-only columns
+    old_blocks = spark.read.parquet(f"{path}/blocks").drop(
+        "is_label", "positions"
+    )
+    old_blocks.write.mode("overwrite").parquet(f"{path}/blocks_old")
+    old_stats = spark.read.parquet(f"{path}/global_stats").drop("has_positions")
+    old_stats.write.mode("overwrite").parquet(f"{path}/global_stats_old")
+    import shutil
+
+    shutil.rmtree(f"{path}/blocks")
+    shutil.rmtree(f"{path}/global_stats")
+    shutil.move(f"{path}/blocks_old", f"{path}/blocks")
+    shutil.move(f"{path}/global_stats_old", f"{path}/global_stats")
+
+    bi = read_blocked_index(spark, path)
+    assert not bi.has_positions
+    res = BlockSearchEngine(bi).search_and(["data", "query"], k=5).collect()
+    flat = SearchEngine(sf_index).search(
+        SearchRequest(tokens=["data", "query"], scorer="float32", max_outputs=5)
+    ).collect()
+    assert [r["doc_id"] for r in res] == [r["doc_id"] for r in flat]
+
+
 def test_persisted_blocks_serve_proximity(tmp_path, spark, locs_sf_index, locs_bindex):
     """Packed positions must survive the write/read round-trip: the
     reloaded index serves proximity + snippets identically."""
@@ -289,3 +318,85 @@ def test_persisted_postings_pushdown(spark, sf_index, tmp_path):
     rs = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in rs and "tf" in rs
     assert "positions" not in rs and "token_len" not in rs
+
+
+def test_block_search_batch_matches_flat(sf_index, bindex):
+    """Block-path search_batch must agree with the flat engine's
+    search_batch on every shape it serves: AND top-k (offset,
+    ReverseOrder, whitelist), logic, orderless, count."""
+    flat_eng = SearchEngine(sf_index)
+    block_eng = BlockSearchEngine(bindex)
+    reqs = {
+        "and1": SearchRequest(text="data query", max_outputs=10),
+        "and2": SearchRequest(text="batch", max_outputs=5, offset=3),
+        "rev": SearchRequest(text="data query", max_outputs=10,
+                             reverse_order=True),
+        "wl": SearchRequest(text="data", doc_ids=list(range(0, 100, 2)),
+                            max_outputs=10),
+        "all": SearchRequest(text="group order"),  # unlimited
+        "missing": SearchRequest(text="data zzzqx", max_outputs=10),
+        "orderless": SearchRequest(text="group order", orderless=True),
+        "count": SearchRequest(text="data query", count_docs_only=True),
+        "logic": SearchRequest(must=["data"], should=["query", "spark"],
+                               not_in=["dup"]),
+        "logic_k": SearchRequest(must=["data"], not_in=["query"],
+                                 max_outputs=8, offset=2),
+    }
+    got = block_eng.search_batch(reqs).collect()
+    expect = flat_eng.search_batch(reqs).collect()
+
+    def by_qid(rows):
+        out: dict[str, list] = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(r)
+        return out
+
+    g, e = by_qid(got), by_qid(expect)
+    assert set(g) == set(e)
+    assert "missing" not in g
+    for qid in g:
+        gs = sorted(g[qid], key=lambda r: (r["rank"], r["doc_id"] or -1))
+        es = sorted(e[qid], key=lambda r: (r["rank"], r["doc_id"] or -1))
+        assert [(r["doc_id"], r["rank"]) for r in gs] == [
+            (r["doc_id"], r["rank"]) for r in es
+        ], qid
+        np.testing.assert_allclose(
+            [r["score"] for r in gs], [r["score"] for r in es],
+            rtol=1e-5, atol=1e-6, err_msg=qid,
+        )
+
+
+def test_block_search_request_surface(sf_index, bindex):
+    """Single-request block search() serves the five parity shapes
+    (whitelist / offset / ReverseOrder / CountDocsOnly / orderless)
+    identically to the flat engine."""
+    flat_eng = SearchEngine(sf_index)
+    block_eng = BlockSearchEngine(bindex)
+    shapes = [
+        SearchRequest(text="data", doc_ids=list(range(0, 100, 2)),
+                      max_outputs=10),
+        SearchRequest(text="data query", offset=5, max_outputs=5),
+        SearchRequest(text="data query", max_outputs=10, reverse_order=True),
+    ]
+    for req in shapes:
+        exp = flat_eng.search(req).select("doc_id", "score").collect()
+        res = block_eng.search(req).collect()
+        assert [r["doc_id"] for r in res] == [r["doc_id"] for r in exp], req
+        np.testing.assert_allclose(
+            [r["score"] for r in res], [r["score"] for r in exp],
+            rtol=1e-5, atol=1e-6,
+        )
+    # count
+    creq = SearchRequest(text="data query", count_docs_only=True)
+    assert (block_eng.search(creq).collect()[0]["num_docs"]
+            == flat_eng.search(creq).collect()[0]["num_docs"])
+    # orderless
+    oreq = SearchRequest(text="group order", orderless=True)
+    assert sorted(r["doc_id"] for r in block_eng.search(oreq).collect()) == \
+        sorted(r["doc_id"] for r in flat_eng.search(oreq).collect())
+    # unsupported combos raise, never silently drop
+    with pytest.raises(ValueError):
+        block_eng.search_batch(
+            {"bad": SearchRequest(text="data", doc_ids=[1],
+                                  count_docs_only=True)}
+        )

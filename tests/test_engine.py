@@ -430,6 +430,56 @@ def test_search_batch_matches_per_query(spark):
         ), qid
 
 
+def test_batch_partial_topk_in_plan(spark):
+    """The batched ranker must pre-reduce per (query_id, rank_bucket)
+    BEFORE the global per-query window (riot slices [0, offset+max)
+    per shard before the merge, ranker_worker.go:60-73): the optimized
+    plan must contain two Window nodes with a rank_bucket partial rank
+    + row-count-cap Filter between the aggregate and the final window,
+    so no single task ever ranks a hot query's full candidate set."""
+    import io
+    import contextlib
+    from riot_spark.sources.corpus import load_documents
+    from riot_spark.build import build_index
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE)
+    idx = build_index(docs, EngineConfig(index_type=FREQUENCIES_INDEX,
+                                         num_index_partitions=8))
+    eng = SearchEngine(idx)
+    reqs = {
+        "q1": SearchRequest(text="data query", max_outputs=10),
+        "q2": SearchRequest(text="batch", max_outputs=5, offset=3),
+    }
+    df = eng.search_batch(reqs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Window") >= 2, plan
+    assert "rank_bucket" in plan, plan
+    assert "part_rank" in plan, plan
+    # the partial window must come before (deeper than) the final one
+    assert plan.index("part_rank") != -1
+
+    # logic batch gets the same treatment
+    df2 = eng.search_batch(
+        {"l1": SearchRequest(must=["data"], not_in=["dup"], max_outputs=8)}
+    )
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        df2.explain("formatted")
+    plan2 = buf2.getvalue()
+    assert "rank_bucket" in plan2, plan2
+
+    # k == 0 everywhere -> no cap possible, partial phase skipped
+    df3 = eng.search_batch({"u1": SearchRequest(text="data query")})
+    buf3 = io.StringIO()
+    with contextlib.redirect_stdout(buf3):
+        df3.explain("formatted")
+    assert "rank_bucket" not in buf3.getvalue()
+
+
 def test_hot_term_salting_spreads_partitions(spark):
     """A df=N stopword-like term must land in ~build_salts partitions
     (skew defense), and search results must be unaffected."""
@@ -596,3 +646,32 @@ def test_doc_ids_index_mode(spark):
     assert sorted(r["doc_id"] for r in r0) == sorted(r["doc_id"] for r in rf)
     assert all(r["score"] == 0.0 for r in r0)
     assert [r["doc_id"] for r in r0] == sorted(r["doc_id"] for r in r0)
+
+
+def test_batch_rare_combos_emit_rows(spark):
+    """count+whitelist and orderless+whitelist must NOT be silently
+    dropped from search_batch — they route through per-query search()
+    and emit count/candidate rows (ADVICE r2)."""
+    from riot_spark.sources.corpus import load_documents
+    from riot_spark.build import build_index
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE)
+    idx = build_index(docs, EngineConfig(index_type=FREQUENCIES_INDEX,
+                                         num_index_partitions=8))
+    eng = SearchEngine(idx)
+    wl = list(range(0, 100, 2))
+    reqs = {
+        "cwl": SearchRequest(text="data", doc_ids=wl, count_docs_only=True),
+        "owl": SearchRequest(text="data", doc_ids=wl, orderless=True),
+    }
+    rows = eng.search_batch(reqs).collect()
+    by_qid: dict[str, list] = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    n = eng.search(reqs["cwl"]).collect()[0]["num_docs"]
+    assert len(by_qid["cwl"]) == 1
+    assert by_qid["cwl"][0]["doc_id"] is None
+    assert int(by_qid["cwl"][0]["score"]) == n and n > 0
+    cand = sorted(r["doc_id"] for r in eng.search(reqs["owl"]).collect())
+    assert sorted(r["doc_id"] for r in by_qid["owl"]) == cand

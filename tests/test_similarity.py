@@ -39,3 +39,38 @@ def test_partitioned_ivf_matches_inline(spark, tmp_path):
     # carries the cid membership, so non-probed lists are never read
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_kmeans_trained_ivf(spark, tmp_path):
+    """kmeans_train must be run-to-run deterministic (integer-sum
+    means), cover the corpus with k non-empty clusters, and the
+    trained partitioned store must reproduce the inline trained-IVF
+    query with file-level pruning."""
+    from riot_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_ivf_read_topk,
+        kmeans_ivf_topk,
+        kmeans_ivf_write,
+        kmeans_train,
+    )
+
+    emb = load_embeddings(spark, SF_SMOKE)
+    cents = kmeans_train(emb, k=4, iters=2)
+    assert cents == kmeans_train(emb, k=4, iters=2)  # deterministic
+    counts = {
+        r["cid"]: r["n"]
+        for r in kmeans_assign(emb, cents)
+        .groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == set(range(4)) and sum(counts.values()) == emb.count()
+
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    path = str(tmp_path / "kivf")
+    kmeans_ivf_write(emb, cents, path)
+    got = kmeans_ivf_read_topk(spark, path, qvec, cents, k=10, nprobe=2)
+    want = kmeans_ivf_topk(emb, qvec, k=10, n_clusters=4, iters=2, nprobe=2)
+    assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in want.collect()
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:120]

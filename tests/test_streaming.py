@@ -43,6 +43,56 @@ def test_incremental_converges_to_batch(spark, tmp_path):
     assert SearchEngine(live).search(SearchRequest(tokens=["query", "engine"])).collect() == []
 
 
+def test_compact_to_blocks_with_manifest(spark, tmp_path):
+    """Streaming state must compact into the packed block layout and
+    persist with lineage-manifest resume: same stream state twice =
+    manifest skip; a new micro-batch invalidates the fingerprint."""
+    import json
+
+    from riot_spark.blocks import BlockSearchEngine, read_blocked_index
+    from riot_spark.build import build_index
+    from riot_spark.config import LOCS_INDEX
+
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=4)
+    sx = StreamingIndexer(spark, str(tmp_path / "stream_idx"), cfg)
+    sx.process_batch(_docs(spark, [(1, "hello world data"),
+                                   (2, "data query engine")]), 0)
+    sx.process_batch(_docs(spark, [(3, "world query data")]), 1)
+
+    store = str(tmp_path / "bstore")
+    bi = sx.compact_to_blocks(doc_block_bits=8, store_path=store)
+    got = BlockSearchEngine(bi).search_and(["data", "query"]).collect()
+
+    batch_idx = build_index(
+        _docs(spark, [(1, "hello world data"), (2, "data query engine"),
+                      (3, "world query data")]), cfg)
+    from riot_spark.blocks import blocked_from_index
+    want = BlockSearchEngine(
+        blocked_from_index(batch_idx, doc_block_bits=8)
+    ).search_and(["data", "query"]).collect()
+    assert sorted((r["doc_id"], np.float32(r["score"])) for r in got) == \
+        sorted((r["doc_id"], np.float32(r["score"])) for r in want)
+
+    # the persisted store serves the same results
+    bi2 = read_blocked_index(spark, store)
+    got2 = BlockSearchEngine(bi2).search_and(["data", "query"]).collect()
+    assert sorted((r["doc_id"], np.float32(r["score"])) for r in got2) == \
+        sorted((r["doc_id"], np.float32(r["score"])) for r in got)
+
+    # unchanged stream state -> manifest skip (fingerprint hit)
+    fp1 = json.load(open(f"{store}/manifest.json"))["input_fingerprint"]
+    sx.compact_to_blocks(doc_block_bits=8, store_path=store)
+    assert json.load(open(f"{store}/manifest.json"))["input_fingerprint"] == fp1
+
+    # a new micro-batch changes the fingerprint -> re-compact
+    sx.process_batch(_docs(spark, [(4, "fresh data query")]), 2)
+    sx.compact_to_blocks(doc_block_bits=8, store_path=store)
+    assert json.load(open(f"{store}/manifest.json"))["input_fingerprint"] != fp1
+    bi3 = read_blocked_index(spark, store)
+    res = BlockSearchEngine(bi3).search_and(["data", "query"]).collect()
+    assert 4 in {r["doc_id"] for r in res}
+
+
 def test_stateful_first_seen_dedup(spark, tmp_path):
     """applyInPandasWithState first-seen dedup: across micro-batches,
     one row per fingerprint carrying the doc of its first appearance."""
