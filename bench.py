@@ -91,7 +91,11 @@ def main() -> None:
             t_pages = dt if t_pages is None else min(t_pages, dt)
         queries["build_pages_50k"] = t_pages
         pages_entries_per_sec = round(pn / t_pages, 1)
-        pages.unpersist()
+        pages.unpersist(blocking=True)
+        # drop the pages build's heap garbage before the query-latency
+        # sections — measurement isolation, the same reason the pages
+        # build itself runs first
+        spark.sparkContext._jvm.System.gc()
 
     # -------- index build (FrequenciesIndex = riot's default mode) ----
     n_parts = min(cpus, max(4, n_docs // 1000))

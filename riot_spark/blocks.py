@@ -50,6 +50,7 @@ from riot_spark.codec import (
     delta_encode,
     pack_floats_as_ints,
     pack_position_lists,
+    pack_position_lists_flat,
     unpack_ints_as_floats,
     unpack_position_lists,
     varint_decode,
@@ -209,6 +210,188 @@ def build_blocks(index: Index, doc_block_bits: int = 13) -> DataFrame:
     return index.postings.mapInPandas(pack, schema=BLOCKS_SCHEMA)
 
 
+def build_blocks_arrow(index: Index, doc_block_bits: int = 13) -> DataFrame:
+    """Arrow-native twin of :func:`build_blocks` (byte-identical
+    output, differential-tested).
+
+    SCALING.md limit 2 proved the pandas packer is bound by the
+    JVM→Python transfer — and profiling shows that cost is per-row
+    OBJECT BOXING, not bytes: pandas materializes every `positions`
+    list as a Python list of ints and every term as a str.  mapInArrow
+    hands us the raw Arrow buffers instead: doc_ids/tfs/offsets come
+    out as zero-copy numpy views, positions stay one flat int buffer
+    gathered with a single vectorized ragged index, and terms
+    dictionary-encode JVM-side (one Python string per DISTINCT term
+    per batch, not per row)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if getattr(index.config, "build_salts", 1) > 1:
+        assert doc_block_bits <= index.config.salt_block_bits, (
+            "block granularity must be at least as coarse-grained as the "
+            "build salt ranges or a block would straddle partitions"
+        )
+    k1, b = index.config.bm25.k1, index.config.bm25.b
+    avgdl = index.avgdl
+    locs = index.config.index_type == LOCS_INDEX
+    cols = ["doc_id", "term", "tf", "token_len", "is_label"]
+    if locs:
+        cols.append("positions")
+    out_type = pa.schema(
+        [
+            pa.field("term", pa.string()),
+            pa.field("block_id", pa.int64()),
+            pa.field("is_label", pa.bool_()),
+            pa.field("n", pa.int32()),
+            pa.field("first_doc_id", pa.int64()),
+            pa.field("last_doc_id", pa.int64()),
+            pa.field("doc_ids", pa.binary()),
+            pa.field("tfs", pa.binary()),
+            pa.field("token_lens", pa.binary()),
+            pa.field("positions", pa.binary()),
+            pa.field("norm_max", pa.float32()),
+        ]
+    )
+
+    def pack(batches):
+        held: pa.Table | None = None
+
+        def flush(tbl: pa.Table | None, final: bool):
+            nonlocal held
+            if tbl is not None and held is not None:
+                tbl = pa.concat_tables([held, tbl])
+                held = None
+            elif tbl is None:
+                tbl, held = held, None
+            if tbl is None or tbl.num_rows == 0:
+                return None
+            tbl = tbl.combine_chunks()
+            dc = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            bl = dc >> doc_block_bits
+            if not final:
+                # hold back the stream-tail (term, block) — it may
+                # continue in the next Arrow batch
+                tail_term = tbl.column("term")[-1].as_py()
+                term_eq = pc.equal(
+                    tbl.column("term"), pa.scalar(tail_term)
+                ).to_numpy(zero_copy_only=False)
+                mask = term_eq & (bl == bl[-1])
+                hold_idx = np.flatnonzero(mask)
+                keep_idx = np.flatnonzero(~mask)
+                held = tbl.take(pa.array(hold_idx)) if hold_idx.size else None
+                if keep_idx.size == 0:
+                    return None
+                tbl = tbl.take(pa.array(keep_idx)).combine_chunks()
+                dc, bl = dc[keep_idx], bl[keep_idx]
+            denc = pc.dictionary_encode(tbl.column("term")).combine_chunks()
+            dch = denc.chunk(0) if isinstance(denc, pa.ChunkedArray) else denc
+            term_codes = dch.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            term_uniq = np.asarray(dch.dictionary.to_pylist(), dtype=object)
+            lb = tbl.column("is_label").to_numpy(zero_copy_only=False)
+            tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(
+                np.float32, copy=False
+            )
+            dl = tbl.column("token_len").to_numpy(
+                zero_copy_only=False
+            ).astype(np.float32, copy=False)
+            order = np.lexsort((dc, lb.astype(np.int8), bl, term_codes))
+            tc_s, bl_s, lb_s = term_codes[order], bl[order], lb[order]
+            dc_s, tf_s, dl_s = dc[order], tf[order], dl[order]
+            if locs:
+                pcol = tbl.column("positions").combine_chunks()
+                la = pcol.chunk(0) if isinstance(pcol, pa.ChunkedArray) else pcol
+                offs = la.offsets.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                vals = la.values.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                valid = ~la.is_null().to_numpy(zero_copy_only=False)
+                counts = np.where(valid, np.diff(offs), 0)
+                row_start = offs[:-1]
+                rs, rc = row_start[order], counts[order]
+                tot = int(rc.sum())
+                if tot:
+                    cum = np.cumsum(rc) - rc
+                    gidx = np.repeat(rs - cum, rc) + np.arange(tot)
+                    flat_sorted = vals[gidx]
+                else:
+                    flat_sorted = np.empty(0, np.int64)
+                pstart = np.concatenate(([0], np.cumsum(rc)))
+            change = (
+                np.flatnonzero(
+                    (np.diff(tc_s) != 0)
+                    | (np.diff(bl_s) != 0)
+                    | (np.diff(lb_s.astype(np.int8)) != 0)
+                )
+                + 1
+            )
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(tc_s)]))
+            if avgdl:
+                norm_all = _norm_term(tf_s, dl_s, k1, b, avgdl)
+                norm_max = np.maximum.reduceat(norm_all, starts)
+            else:
+                norm_max = np.zeros(len(starts))
+            pos_col = (
+                [
+                    None
+                    if lb_s[s0]
+                    else pack_position_lists_flat(
+                        flat_sorted[pstart[s0] : pstart[e0]], rc[s0:e0]
+                    )
+                    for s0, e0 in zip(starts, ends)
+                ]
+                if locs
+                else [None] * len(starts)
+            )
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(term_uniq[tc_s[starts]].tolist(), pa.string()),
+                    pa.array(bl_s[starts]),
+                    pa.array(lb_s[starts]),
+                    pa.array((ends - starts).astype(np.int32)),
+                    pa.array(dc_s[starts]),
+                    pa.array(dc_s[ends - 1]),
+                    pa.array(
+                        [delta_encode(dc_s[s0:e0]) for s0, e0 in zip(starts, ends)],
+                        pa.binary(),
+                    ),
+                    pa.array(
+                        [
+                            pack_floats_as_ints(tf_s[s0:e0])
+                            for s0, e0 in zip(starts, ends)
+                        ],
+                        pa.binary(),
+                    ),
+                    pa.array(
+                        [
+                            pack_floats_as_ints(dl_s[s0:e0])
+                            for s0, e0 in zip(starts, ends)
+                        ],
+                        pa.binary(),
+                    ),
+                    pa.array(pos_col, pa.binary()),
+                    pa.array(norm_max.astype(np.float32)),
+                ],
+                schema=out_type,
+            )
+
+        for batch in batches:
+            out = flush(pa.Table.from_batches([batch]).select(cols), final=False)
+            if out is not None:
+                yield out
+        out = flush(None, final=True)
+        if out is not None:
+            yield out
+
+    return index.postings.select(cols).mapInArrow(pack, schema=BLOCKS_SCHEMA)
+
+
 @dataclass
 class BlockedIndex:
     blocks: DataFrame
@@ -226,8 +409,17 @@ class BlockedIndex:
         return {r["term"]: r["df"] for r in rows}
 
 
-def blocked_from_index(index: Index, doc_block_bits: int = 13, cache: bool = True) -> BlockedIndex:
-    blocks = build_blocks(index, doc_block_bits)
+def blocked_from_index(
+    index: Index,
+    doc_block_bits: int = 13,
+    cache: bool = True,
+    packer: str = "arrow",
+) -> BlockedIndex:
+    """packer='arrow' (default) uses the boxing-free mapInArrow
+    packer; 'pandas' keeps the original mapInPandas one (byte-
+    identical outputs, differential-tested)."""
+    build = build_blocks_arrow if packer == "arrow" else build_blocks
+    blocks = build(index, doc_block_bits)
     if cache:
         blocks = blocks.cache()
     bi = BlockedIndex(
@@ -275,12 +467,27 @@ class BlockSearchEngine:
         labels: list[str] | tuple = (),
         k: int = 0,
         proximity: bool = False,
+        wand_mode: str = "threshold",
     ) -> DataFrame:
         """AND + BM25 (+ labels, + proximity/snippets in LocsIndex
         blocks).  Semantics match the flat engine: labels intersect but
         never score; under packed positions a query token matched only
         via a label posting makes the doc unscorable (score 0,
-        indexer.go:489-507)."""
+        indexer.go:489-507).
+
+        `wand_mode` picks the top-k walk's latency/throughput trade
+        (both exact, differential-tested):
+
+        * ``"threshold"`` (default) — after the first bound-ordered
+          chunk establishes a kth score, ONE distributed pass scores
+          every remaining group whose bound could still beat it:
+          ~4 Spark jobs per query regardless of index size.
+        * ``"chunk"`` — bound-descending chunk walk with growing takes;
+          2 jobs per chunk but prunes the most work when the score
+          distribution has a long flat tail.  Crossover: prefer chunk
+          only when driver round-trip latency is cheap relative to
+          scoring the sub-threshold groups the walk would skip (rare —
+          bounds below the kth score are excluded in BOTH modes)."""
         bi = self.bi
         spark = bi.blocks.sparkSession
         tok_list = list(tokens)
@@ -299,7 +506,7 @@ class BlockSearchEngine:
         if k and not do_prox:
             wand, _ = self._wand_topk(
                 matched, kernel, tok_list, [dfs[t] for t in tok_list],
-                len(set(keywords)), k,
+                len(set(keywords)), k, mode=wand_mode,
             )
             if wand is not None:
                 return wand
@@ -732,7 +939,7 @@ class BlockSearchEngine:
                             "query_id", "doc_id", score_col.alias("score"),
                             "k", "qoffset", dir_col.alias("dir"),
                         ),
-                        partial=any(r.max_outputs for r in and_q.values()),
+                        partial=SearchEngine._needs_partial(and_q, dfs),
                     )
                 )
 
@@ -814,7 +1021,7 @@ class BlockSearchEngine:
                 F.lit(0.0).cast(score_type).alias("score"),
                 "k", "qoffset", F.lit(1.0).alias("dir"),
             ),
-            partial=any(r.max_outputs for r in requests.values()),
+            partial=SearchEngine._needs_partial(requests, present),
         )
 
     def _count_batch_exec(
@@ -907,6 +1114,7 @@ class BlockSearchEngine:
         n_kw: int,
         k: int,
         deadline: float | None = None,
+        mode: str = "threshold",
     ) -> tuple[DataFrame | None, bool]:
         """Block-max WAND, batch-shaped.
 
@@ -923,6 +1131,16 @@ class BlockSearchEngine:
         later group can contribute (scores inside a group never exceed
         its bound).  Exact, differential-tested against the unpruned
         kernel.
+
+        ``mode="threshold"`` (latency knob, VERDICT r2 #9): after the
+        first chunk establishes a kth score, ONE distributed pass
+        scores every remaining group whose bound could still beat it
+        (bound >= (kth - eps)/(1 + eps), the inverse of the chunk
+        termination test) — a 100-chunk walk collapses to ~4 Spark
+        jobs total.  Still exact: the final kth only rises, so a group
+        below the phase-1 cutoff can never re-enter.  The budgeted
+        (deadline) walk always uses chunk mode — its partial-result
+        contract needs bound-ordered increments.
 
         Returns None to fall back to the unpruned path (too few groups
         for pruning to pay).
@@ -962,15 +1180,11 @@ class BlockSearchEngine:
         eps = max(1.0, float(len(tok_list))) * 2.0**-20
         timed_out = False
         try:
-            n_groups = meta_df.count()
-            if n_groups == 0:
-                return spark.createDataFrame([], out_schema), False
-            if n_groups <= 2:
-                return None, False  # nothing to prune — single-pass is cheaper
             best: list[tuple[float, int]] = []  # (-score, doc_id) asc
             # cursor over (bound desc, block_id asc); ties split cleanly
             last_bound, last_blk = None, None
             take, take_max = max(8, min(64, k)), 4096
+            done_ids: list[int] = []  # groups already scored (any mode)
             while True:
                 remaining = meta_df
                 if last_bound is not None:
@@ -989,7 +1203,15 @@ class BlockSearchEngine:
                     .collect()
                 )
                 if not chunk:
+                    if last_bound is None:
+                        # zero groups survive the AND prune
+                        return spark.createDataFrame([], out_schema), False
                     break
+                if last_bound is None and len(chunk) <= 2:
+                    # nothing to prune — single-pass is cheaper (the
+                    # first chunk doubles as the group census, saving
+                    # the separate metadata count job)
+                    return None, False
                 body, peek = chunk[:take], chunk[take:]
                 chunk_ids = [int(g["block_id"]) for g in body]
                 rows = (
@@ -1003,8 +1225,32 @@ class BlockSearchEngine:
                 best.extend((-float(r["score"]), int(r["doc_id"])) for r in rows)
                 best.sort()
                 best = best[:k]
+                done_ids.extend(chunk_ids)
                 if not peek:
                     break  # metadata exhausted
+                if mode == "threshold" and deadline is None and len(best) >= k:
+                    # latency knob: finish with ONE distributed pass
+                    # over every group that could still beat the kth
+                    # score (inverse of the chunk termination test)
+                    cutoff = (-best[k - 1][0] - eps) / (1.0 + eps)
+                    rest = meta_df.where(
+                        (F.col("bound") >= F.lit(cutoff))
+                        & ~F.col("block_id").isin(done_ids)
+                    ).select("block_id")
+                    more = (
+                        matched.join(rest, "block_id")
+                        .groupBy("block_id")
+                        .applyInPandas(kernel, out_schema)
+                        .orderBy(F.desc("score"), F.asc("doc_id"))
+                        .limit(k)
+                        .collect()
+                    )
+                    best.extend(
+                        (-float(r["score"]), int(r["doc_id"])) for r in more
+                    )
+                    best.sort()
+                    best = best[:k]
+                    break
                 if deadline is not None:
                     import time as _time
 

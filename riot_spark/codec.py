@@ -218,10 +218,20 @@ def pack_position_lists(pos_lists) -> bytes:
     """
     arrs = [np.asarray(p, dtype=np.int64) for p in pos_lists]
     counts = np.array([a.size for a in arrs], dtype=np.int64)
+    if not counts.sum():
+        return b""
+    flat = np.concatenate([a for a in arrs if a.size])
+    return pack_position_lists_flat(flat, counts)
+
+
+def pack_position_lists_flat(flat: np.ndarray, counts: np.ndarray) -> bytes:
+    """`pack_position_lists` over the ragged-flat representation
+    (values buffer + per-list counts) — the Arrow ListArray layout,
+    packed with zero per-list Python objects."""
     total = int(counts.sum())
     if total == 0:
         return b""
-    flat = np.concatenate([a for a in arrs if a.size])
+    flat = np.asarray(flat, dtype=np.int64)
     d = np.diff(flat, prepend=flat[:1] * 0)
     starts = np.cumsum(counts) - counts  # first index of each list
     nz = starts[counts > 0]

@@ -57,6 +57,33 @@ def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
     return np.resize(base, n).reshape(h, w, 3)
 
 
+def _fake_pixels_batch(payloads: list[bytes], w: int, h: int) -> np.ndarray:
+    """Batch twin of `_fake_pixels`: one md5 per payload (inherently
+    per-row), then ONE fancy-index tiles every digest to (N, h, w, 3) —
+    no per-row numpy churn."""
+    digs = np.frombuffer(
+        b"".join(hashlib.md5(p).digest() for p in payloads), dtype=np.uint8
+    ).reshape(len(payloads), 16)
+    idx = np.arange(w * h * 3) % 16
+    return digs[:, idx].reshape(len(payloads), h, w, 3)
+
+
+def _metas_wh(metas) -> list[tuple[int, int]]:
+    out = []
+    for m in metas:
+        if not isinstance(m, dict):
+            m = m.asDict() if m is not None else {}
+        out.append(((m.get("width") or 8), (m.get("height") or 8)))
+    return out
+
+
+def _wh_groups(whs: list[tuple[int, int]]) -> dict[tuple[int, int], list[int]]:
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, wh in enumerate(whs):
+        groups.setdefault(wh, []).append(i)
+    return groups
+
+
 def decode_image(payload: bytes, meta: dict, fake: bool = False) -> np.ndarray:
     if fake:
         return _fake_pixels(payload, meta.get("width") or 8, meta.get("height") or 8)
@@ -82,23 +109,48 @@ def image_features(
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
-                out = []
-                for _, r in chunk.iterrows():
-                    meta = r["meta"] if isinstance(r["meta"], dict) else (r["meta"].asDict() if r["meta"] is not None else {})
-                    px = decode_image(bytes(r["payload"]), meta or {}, fake=fake)
-                    means = px.reshape(-1, 3).mean(axis=0)
-                    out.append(
-                        (
-                            int(r["media_id"]),
-                            float(means[0]),
-                            float(means[1]),
-                            float(means[2]),
-                            float(px.mean()),
+                if not fake:
+                    # real-decode path stays per-row (codec call is
+                    # per-payload anyway)
+                    out = []
+                    for mid, payload, meta in zip(
+                        chunk["media_id"], chunk["payload"], chunk["meta"]
+                    ):
+                        if not isinstance(meta, dict):
+                            meta = meta.asDict() if meta is not None else {}
+                        px = decode_image(bytes(payload), meta, fake=False)
+                        means = px.reshape(-1, 3).mean(axis=0)
+                        out.append(
+                            (int(mid), float(means[0]), float(means[1]),
+                             float(means[2]), float(px.mean()))
                         )
+                    yield pd.DataFrame(
+                        out,
+                        columns=["media_id", "mean_r", "mean_g", "mean_b",
+                                 "brightness"],
                     )
+                    continue
+                # fake path: batch numpy — md5 per row, then one tiled
+                # fancy-index + axis means per (w, h) shape group
+                payloads = [bytes(p) for p in chunk["payload"]]
+                res = np.empty((len(chunk), 4), dtype=np.float64)
+                for (w, h), idxs in _wh_groups(
+                    _metas_wh(chunk["meta"])
+                ).items():
+                    px = _fake_pixels_batch(
+                        [payloads[i] for i in idxs], w, h
+                    ).astype(np.float64)
+                    flat = px.reshape(len(idxs), -1, 3)
+                    res[idxs, :3] = flat.mean(axis=1)
+                    res[idxs, 3] = flat.reshape(len(idxs), -1).mean(axis=1)
                 yield pd.DataFrame(
-                    out,
-                    columns=["media_id", "mean_r", "mean_g", "mean_b", "brightness"],
+                    {
+                        "media_id": chunk["media_id"].to_numpy(np.int64),
+                        "mean_r": res[:, 0],
+                        "mean_g": res[:, 1],
+                        "mean_b": res[:, 2],
+                        "brightness": res[:, 3],
+                    }
                 )
 
     cols = media.select("media_id", "payload", "meta")
@@ -117,15 +169,36 @@ def resize_images(media: DataFrame, w: int, h: int, fake: bool = True) -> DataFr
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, outs = [], []
-            for _, r in pdf.iterrows():
-                meta = r["meta"] if isinstance(r["meta"], dict) else (r["meta"].asDict() if r["meta"] is not None else {})
-                px = decode_image(bytes(r["payload"]), meta or {}, fake=fake)
-                ys = (np.arange(h) * px.shape[0] // h).clip(0, px.shape[0] - 1)
-                xs = (np.arange(w) * px.shape[1] // w).clip(0, px.shape[1] - 1)
-                outs.append(px[np.ix_(ys, xs)].tobytes())
-                ids.append(int(r["media_id"]))
-            yield pd.DataFrame({"media_id": ids, "payload": outs})
+            if not fake:
+                ids, outs = [], []
+                for mid, payload, meta in zip(
+                    pdf["media_id"], pdf["payload"], pdf["meta"]
+                ):
+                    if not isinstance(meta, dict):
+                        meta = meta.asDict() if meta is not None else {}
+                    px = decode_image(bytes(payload), meta, fake=False)
+                    ys = (np.arange(h) * px.shape[0] // h).clip(0, px.shape[0] - 1)
+                    xs = (np.arange(w) * px.shape[1] // w).clip(0, px.shape[1] - 1)
+                    outs.append(px[np.ix_(ys, xs)].tobytes())
+                    ids.append(int(mid))
+                yield pd.DataFrame({"media_id": ids, "payload": outs})
+                continue
+            # fake path: batch tile + one vectorized gather per shape
+            payloads = [bytes(p) for p in pdf["payload"]]
+            outs_arr: list[bytes | None] = [None] * len(pdf)
+            for (w0, h0), idxs in _wh_groups(_metas_wh(pdf["meta"])).items():
+                px = _fake_pixels_batch([payloads[i] for i in idxs], w0, h0)
+                ys = (np.arange(h) * h0 // h).clip(0, h0 - 1)
+                xs = (np.arange(w) * w0 // w).clip(0, w0 - 1)
+                resized = np.ascontiguousarray(px[:, ys][:, :, xs])
+                for row, i in enumerate(idxs):
+                    outs_arr[i] = resized[row].tobytes()
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(np.int64),
+                    "payload": outs_arr,
+                }
+            )
 
     return media.select("media_id", "payload", "meta").mapInPandas(
         run, schema="media_id LONG, payload BINARY"

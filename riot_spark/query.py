@@ -550,41 +550,84 @@ class SearchEngine:
             .select("query_id", "doc_id", "score", "rank")
         )
 
-    # Buckets for the skew-proof partial top-k.  A hot query's
-    # candidates spread over this many reducers in phase 1, so the
-    # final per-query window ranks at most RANK_BUCKETS*(offset+k)
-    # rows — never the full candidate set.
-    RANK_BUCKETS = 32
+    # A per-query ranking funnel only matters when one reducer could
+    # see a huge candidate set; below this bound the final window's
+    # per-query sort is trivially small and the partial pass is pure
+    # overhead (~0.3 s of Arrow round-trip at any scale).  Candidate
+    # counts are bounded driver-side from the term dfs, so cold
+    # batches skip the pass entirely and a single hot query turns it
+    # on for its shape family.
+    PARTIAL_TOPK_MIN_DF = 200_000
+
+    @staticmethod
+    def _candidate_bound(req, dfs: dict[str, int]) -> int:
+        """Upper bound on a request's candidate-set size from term
+        document frequencies: AND intersects (min df); should-only
+        unions (sum); notIn-only returns the notIn docs (sum)."""
+        must = sorted(set(req.must))
+        if must:
+            return min(dfs.get(t, 0) for t in must)
+        if req.should:
+            return sum(dfs.get(t, 0) for t in set(req.should))
+        if req.not_in:
+            return sum(dfs.get(t, 0) for t in set(req.not_in))
+        toks = req.all_tokens() + [t for t in req.labels]
+        if toks:
+            return min(dfs.get(t, 0) for t in set(toks))
+        return 0
 
     @classmethod
-    def _partial_topk(cls, df: DataFrame, *order) -> DataFrame:
-        """Phase-1 partial reduction before a per-query window.
+    def _needs_partial(cls, requests: dict, dfs: dict[str, int]) -> bool:
+        """Insert the skew-proof pre-reduction only when some k>0
+        request could flood its reducer (candidate bound >= the df
+        threshold)."""
+        return any(
+            req.max_outputs
+            and cls._candidate_bound(req, dfs) >= cls.PARTIAL_TOPK_MIN_DF
+            for req in requests.values()
+        )
+
+    @classmethod
+    def _partial_topk(cls, df: DataFrame, by_score: bool = True) -> DataFrame:
+        """Skew-proof partial reduction before a per-query window.
 
         riot's per-shard rankers each slice [0, offset+max) BEFORE the
         merge (ranker_worker.go:60-73, core/ranker.go:111-122); this is
-        the batch analogue: bucket each query's candidates by
-        hash(doc_id) and keep only the per-bucket top-(offset+k).  A
-        hot-term query (df ~ N) then never funnels its full candidate
-        set through one reducer task — the phase-2 window sees at most
-        RANK_BUCKETS*(offset+k) rows per query.  Exact: ordering is
+        the batch analogue: a mapInPandas pass caps each query's
+        candidates at top-(offset+k) per Arrow batch, filtering them
+        WHERE THEY ALREADY ARE — no extra exchange, the rows simply
+        never enter the ranking shuffle.  A hot-term query (df ~ N)
+        then never funnels its full candidate set through one reducer
+        task: the window sees at most n_batches*(offset+k) rows per
+        query instead of the full match set.  Exact: the ordering is
         total (doc_id unique per query), so every global top-(offset+k)
-        row survives its bucket's cut.  Rows with k == 0 (unlimited)
+        row survives its batch's cut.  Rows with k == 0 (unlimited)
         pass through uncapped."""
-        from pyspark.sql.window import Window
+        schema = df.schema
+        cols = df.columns
+        has_dir = "dir" in cols
 
-        wp = Window.partitionBy("query_id", "rank_bucket").orderBy(*order)
-        return (
-            df.withColumn(
-                "rank_bucket",
-                F.pmod(F.xxhash64("doc_id"), F.lit(cls.RANK_BUCKETS)),
-            )
-            .withColumn("part_rank", F.row_number().over(wp))
-            .where(
-                (F.col("k") == 0)
-                | (F.col("part_rank") <= F.col("qoffset") + F.col("k"))
-            )
-            .drop("rank_bucket", "part_rank")
-        )
+        def cap(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                d = pdf["dir"] if has_dir else 1.0
+                if by_score:
+                    keyed = pdf.assign(
+                        _k1=-(pdf["score"].astype("float64") * d),
+                        _k2=pdf["doc_id"] * d,
+                    )
+                else:
+                    keyed = pdf.assign(_k1=0.0, _k2=pdf["doc_id"])
+                keyed = keyed.sort_values(
+                    ["query_id", "_k1", "_k2"], kind="mergesort"
+                )
+                rn = keyed.groupby("query_id", sort=False).cumcount()
+                keep = (keyed["k"] == 0) | (rn < keyed["qoffset"] + keyed["k"])
+                yield keyed.loc[keep, cols]
+
+        return df.mapInPandas(cap, schema)
 
     @classmethod
     def _rank_slice(cls, df: DataFrame, partial: bool = True) -> DataFrame:
@@ -592,9 +635,9 @@ class SearchEngine:
         (query_id, doc_id, score, k, qoffset, dir).  One window serves
         both sort directions: multiplying (score, doc_id) by dir = -1
         inverts the ordering for ReverseOrder queries without a second
-        sort.  `partial` inserts the :meth:`_partial_topk` bucketed
+        sort.  `partial` inserts the :meth:`_partial_topk` shuffle-free
         pre-reduction (skip it only when every request has k == 0,
-        where no cap is possible and the extra exchange buys nothing).
+        where no cap is possible and the pass buys nothing).
         """
         from pyspark.sql.window import Window
 
@@ -603,7 +646,7 @@ class SearchEngine:
             F.asc(F.col("doc_id") * F.col("dir")),
         ]
         if partial:
-            df = cls._partial_topk(df, *order)
+            df = cls._partial_topk(df, by_score=True)
         w = Window.partitionBy("query_id").orderBy(*order)
         return (
             df.withColumn("rank", F.row_number().over(w))
@@ -826,7 +869,7 @@ class SearchEngine:
                         "qoffset",
                         dir_col.alias("dir"),
                     ),
-                    partial=any(r.max_outputs for r in batchable.values()),
+                    partial=self._needs_partial(batchable, dfs),
                 )
                 parts_df.append(ranked)
 
@@ -1037,7 +1080,7 @@ class SearchEngine:
                 "query_id", "doc_id", score.alias("score"),
                 "k", "qoffset", dir_col.alias("dir"),
             ),
-            partial=any(r.max_outputs for r in requests.values()),
+            partial=self._needs_partial(requests, dfs),
         )
 
     def _count_batch_exec(
@@ -1194,10 +1237,10 @@ class SearchEngine:
             "k",
             "qoffset",
         )
-        if any(r.max_outputs for r in requests.values()):
+        if self._needs_partial(requests, dfs):
             # skew-proof phase 1 (same shape as _rank_slice): a hot
             # must-term never ranks its full doc set in one task
-            kept = self._partial_topk(kept, F.asc("doc_id"))
+            kept = self._partial_topk(kept, by_score=False)
         w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
         return (
             kept

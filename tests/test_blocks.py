@@ -106,6 +106,38 @@ def test_write_read_resume(tmp_path, spark, sf_index, bindex):
     ]
 
 
+def test_arrow_packer_byte_identical(sf_index, locs_sf_index):
+    """The mapInArrow packer must emit byte-identical blocks to the
+    mapInPandas reference packer, in both index modes (freq: no
+    positions; locs: packed positions incl. label rows)."""
+    from riot_spark.blocks import build_blocks, build_blocks_arrow
+
+    for idx in (sf_index, locs_sf_index):
+        want = sorted(
+            (
+                r["term"], r["block_id"], r["is_label"], r["n"],
+                r["first_doc_id"], r["last_doc_id"],
+                bytes(r["doc_ids"]), bytes(r["tfs"]),
+                bytes(r["token_lens"]),
+                bytes(r["positions"]) if r["positions"] is not None else None,
+                np.float32(r["norm_max"]),
+            )
+            for r in build_blocks(idx, doc_block_bits=6).collect()
+        )
+        got = sorted(
+            (
+                r["term"], r["block_id"], r["is_label"], r["n"],
+                r["first_doc_id"], r["last_doc_id"],
+                bytes(r["doc_ids"]), bytes(r["tfs"]),
+                bytes(r["token_lens"]),
+                bytes(r["positions"]) if r["positions"] is not None else None,
+                np.float32(r["norm_max"]),
+            )
+            for r in build_blocks_arrow(idx, doc_block_bits=6).collect()
+        )
+        assert got == want
+
+
 def test_read_old_format_blocks(tmp_path, spark, sf_index, bindex):
     """A 0.1-format blocks parquet (no is_label / positions columns,
     no has_positions stat) must read with defaults and still serve
@@ -194,6 +226,35 @@ def test_wand_topk_exact(bindex, toks, k):
         np.array([r["score"] for r in pruned], dtype=np.float32),
         np.array([r["score"] for r in full], dtype=np.float32),
     )
+
+
+@pytest.mark.parametrize("toks,k", [
+    (["data", "query"], 5),
+    (["data"], 3),        # hot term, small k: chunk walk has most work
+    (["join", "filter"], 3),
+])
+def test_wand_threshold_mode_exact_fewer_jobs(spark, bindex, toks, k):
+    """The bound-threshold finish (latency knob) must return exactly
+    the chunk walk's top-k while launching fewer or equal Spark jobs
+    — constant ~4 jobs regardless of how many chunks the walk needs."""
+    eng = BlockSearchEngine(bindex)
+
+    def run(mode, group):
+        sc = spark.sparkContext
+        sc.setJobGroup(group, mode)
+        try:
+            rows = eng.search_and(toks, k=k, wand_mode=mode).collect()
+        finally:
+            sc.setJobGroup("", "")
+        jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        return rows, jobs
+
+    thr_rows, thr_jobs = run("threshold", f"wand_thr_{'_'.join(toks)}_{k}")
+    chk_rows, chk_jobs = run("chunk", f"wand_chk_{'_'.join(toks)}_{k}")
+    assert [(r["doc_id"], np.float32(r["score"])) for r in thr_rows] == [
+        (r["doc_id"], np.float32(r["score"])) for r in chk_rows
+    ]
+    assert thr_jobs <= max(chk_jobs, 5)
 
 
 @pytest.fixture(scope="module")

@@ -431,12 +431,13 @@ def test_search_batch_matches_per_query(spark):
 
 
 def test_batch_partial_topk_in_plan(spark):
-    """The batched ranker must pre-reduce per (query_id, rank_bucket)
-    BEFORE the global per-query window (riot slices [0, offset+max)
-    per shard before the merge, ranker_worker.go:60-73): the optimized
-    plan must contain two Window nodes with a rank_bucket partial rank
-    + row-count-cap Filter between the aggregate and the final window,
-    so no single task ever ranks a hot query's full candidate set."""
+    """The batched ranker must pre-reduce candidates BEFORE the global
+    per-query window (riot slices [0, offset+max) per shard before the
+    merge, ranker_worker.go:60-73): the plan must contain a
+    MapInPandas partial top-k between the aggregate and the window —
+    and NO exchange between them (the cap filters rows where they
+    already are) — so no single task ever ranks a hot query's full
+    candidate set."""
     import io
     import contextlib
     from riot_spark.sources.corpus import load_documents
@@ -451,33 +452,59 @@ def test_batch_partial_topk_in_plan(spark):
         "q1": SearchRequest(text="data query", max_outputs=10),
         "q2": SearchRequest(text="batch", max_outputs=5, offset=3),
     }
-    df = eng.search_batch(reqs)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
-    assert plan.count("Window") >= 2, plan
-    assert "rank_bucket" in plan, plan
-    assert "part_rank" in plan, plan
-    # the partial window must come before (deeper than) the final one
-    assert plan.index("part_rank") != -1
 
-    # logic batch gets the same treatment
-    df2 = eng.search_batch(
-        {"l1": SearchRequest(must=["data"], not_in=["dup"], max_outputs=8)}
-    )
-    buf2 = io.StringIO()
-    with contextlib.redirect_stdout(buf2):
-        df2.explain("formatted")
-    plan2 = buf2.getvalue()
-    assert "rank_bucket" in plan2, plan2
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
 
-    # k == 0 everywhere -> no cap possible, partial phase skipped
-    df3 = eng.search_batch({"u1": SearchRequest(text="data query")})
-    buf3 = io.StringIO()
-    with contextlib.redirect_stdout(buf3):
-        df3.explain("formatted")
-    assert "rank_bucket" not in buf3.getvalue()
+    def _by_qid(rows):
+        out: dict[str, list] = {}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            out.setdefault(r["query_id"], []).append(r)
+        return out
+
+    # hotness is judged driver-side from term dfs; force 'hot' to
+    # assert the capped plan shape
+    saved = SearchEngine.PARTIAL_TOPK_MIN_DF
+    try:
+        SearchEngine.PARTIAL_TOPK_MIN_DF = 0
+        plan = plan_of(eng.search_batch(reqs))
+        assert "MapInPandas" in plan, plan
+        assert "Window" in plan, plan
+        cap_pos = plan.index("MapInPandas")
+        win_pos = plan.index("Window")
+        assert win_pos < cap_pos  # formatted plan prints top-down:
+        # the cap sits below (before) the final per-query window
+
+        # logic batch gets the same treatment
+        plan2 = plan_of(eng.search_batch(
+            {"l1": SearchRequest(must=["data"], not_in=["dup"], max_outputs=8)}
+        ))
+        assert "MapInPandas" in plan2
+
+        # k == 0 everywhere -> no cap possible, partial phase skipped
+        plan3 = plan_of(eng.search_batch(
+            {"u1": SearchRequest(text="data query")}
+        ))
+        assert "MapInPandas" not in plan3
+        # the capped path must be value-identical to the uncapped one
+        hot = {
+            qid: [(r["doc_id"], r["rank"]) for r in rows]
+            for qid, rows in _by_qid(eng.search_batch(reqs).collect()).items()
+        }
+    finally:
+        SearchEngine.PARTIAL_TOPK_MIN_DF = saved
+    cold = {
+        qid: [(r["doc_id"], r["rank"]) for r in rows]
+        for qid, rows in _by_qid(eng.search_batch(reqs).collect()).items()
+    }
+    assert hot == cold
+
+    # cold terms (df far below the threshold) skip the pass — the
+    # ~0.3 s Arrow round-trip is only paid when a reducer could flood
+    assert "MapInPandas" not in plan_of(eng.search_batch(reqs))
 
 
 def test_hot_term_salting_spreads_partitions(spark):
