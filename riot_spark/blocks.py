@@ -557,10 +557,36 @@ class BlockSearchEngine:
             empty_cols["proximity"] = np.array([], np.int32)
             empty_cols["snippet_locs"] = []
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        def kernel_impl(
+            pdf: pd.DataFrame, shared: dict | None = None
+        ) -> pd.DataFrame:
+            """`shared` is a per-block decode cache: the batch executor
+            passes one dict per block group so N queries referencing
+            the same term decode its packed bytes ONCE, not N times."""
             empty = pd.DataFrame(empty_cols)
             if pdf["term"].nunique() != n_kw:
                 return empty  # AND prune: a keyword absent in this range
+            dec = shared if shared is not None else {}
+
+            def dget(r, what):
+                key = (r["term"], bool(r["is_label"]), what)
+                v = dec.get(key)
+                if v is None:
+                    if what == "ids":
+                        v = decode_ids(r)
+                    elif what == "tfs":
+                        v = unpack_ints_as_floats(bytes(r["tfs"]))
+                    elif what == "lens":
+                        v = unpack_ints_as_floats(bytes(r["token_lens"]))
+                    elif what == "pos":
+                        counts = dget(r, "tfs").astype(np.int64)
+                        flat, offs = unpack_position_lists(
+                            bytes(r["positions"] or b""), counts
+                        )
+                        v = (flat, offs, counts)
+                    dec[key] = v
+                return v
+
             tok_rows: dict = {}
             lab_rows: dict = {}
             for _, r in pdf.iterrows():
@@ -571,9 +597,9 @@ class BlockSearchEngine:
                 if t not in ids_cache:
                     parts = []
                     if t in tok_rows:
-                        parts.append(decode_ids(tok_rows[t]))
+                        parts.append(dget(tok_rows[t], "ids"))
                     if t in lab_rows:
-                        parts.append(decode_ids(lab_rows[t]))
+                        parts.append(dget(lab_rows[t], "ids"))
                     ids_cache[t] = (
                         parts[0] if len(parts) == 1 else np.union1d(*parts)
                     )
@@ -599,15 +625,15 @@ class BlockSearchEngine:
             for t in tok_list:
                 if t in tok_rows:
                     r = tok_rows[t]
-                    ids = decode_ids(r)
+                    ids = dget(r, "ids")
                     found, safe = member(ids, cur)
-                    tfs = unpack_ints_as_floats(bytes(r["tfs"]))
+                    tfs = dget(r, "tfs")
                     tf_cols.append(
                         np.where(found, tfs[safe], np.float32(0.0)).astype(
                             np.float32
                         )
                     )
-                    dls = unpack_ints_as_floats(bytes(r["token_lens"]))
+                    dls = dget(r, "lens")
                     dl = np.where(found, dls[safe], dl).astype(np.float32)
                 else:
                     found = np.zeros(cur.size, dtype=bool)
@@ -624,9 +650,9 @@ class BlockSearchEngine:
                     for rows_d in (lab_rows, tok_rows):
                         if t in rows_d:
                             r = rows_d[t]
-                            ids = decode_ids(r)
+                            ids = dget(r, "ids")
                             found, safe = member(ids, cur)
-                            dls = unpack_ints_as_floats(bytes(r["token_lens"]))
+                            dls = dget(r, "lens")
                             fill = (dl == 0) & found
                             dl = np.where(fill, dls[safe], dl).astype(np.float32)
             scores = score_fn(tf_cols, df_list, dl, n_docs, avgdl, params)
@@ -640,15 +666,7 @@ class BlockSearchEngine:
                 decoded: dict[str, tuple] = {}
                 for t in tok_list:
                     if t in tok_rows:
-                        r = tok_rows[t]
-                        counts = (
-                            unpack_ints_as_floats(bytes(r["tfs"]))
-                            .astype(np.int64)
-                        )
-                        flat, offs = unpack_position_lists(
-                            bytes(r["positions"] or b""), counts
-                        )
-                        decoded[t] = (flat, offs, counts)
+                        decoded[t] = dget(tok_rows[t], "pos")
                 for j in range(cur.size):
                     if unscor[j] or n_tok == 0:
                         continue
@@ -667,6 +685,13 @@ class BlockSearchEngine:
                 out["snippet_locs"] = snippets
             return pd.DataFrame(out)
 
+        # applyInPandas treats a 2-parameter function as (key, pdf) —
+        # expose a strictly-1-arg wrapper for it, with the cache-aware
+        # implementation attached for the batch dispatcher
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return kernel_impl(pdf)
+
+        kernel.impl = kernel_impl
         return kernel
 
     def search_and_budgeted(
@@ -756,16 +781,37 @@ class BlockSearchEngine:
         its block_id."""
         decode_ids = BlockSearchEngine._decode_ids
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        def kernel_impl(
+            pdf: pd.DataFrame, shared: dict | None = None
+        ) -> pd.DataFrame:
+            dec = shared if shared is not None else {}
             rows_by_term: dict[str, list] = {}
             for _, r in pdf.iterrows():
                 rows_by_term.setdefault(r["term"], []).append(r)
 
             def term_ids(t):
-                parts = [decode_ids(r) for r in rows_by_term.get(t, [])]
-                if not parts:
-                    return np.array([], dtype=np.int64)
-                return parts[0] if len(parts) == 1 else np.union1d(*parts)
+                # decoded per-term union memoized in the per-block
+                # cache — N queries referencing a term decode it once
+                key = ("union_ids", t)
+                v = dec.get(key)
+                if v is None:
+                    parts = []
+                    for r in rows_by_term.get(t, []):
+                        rkey = (t, bool(r["is_label"]), "ids")
+                        p = dec.get(rkey)
+                        if p is None:
+                            p = decode_ids(r)
+                            dec[rkey] = p
+                        parts.append(p)
+                    v = (
+                        np.array([], dtype=np.int64)
+                        if not parts
+                        else parts[0]
+                        if len(parts) == 1
+                        else np.union1d(*parts)
+                    )
+                    dec[key] = v
+                return v
 
             empty = pd.DataFrame({"doc_id": np.array([], np.int64)})
             if must_set:
@@ -802,6 +848,12 @@ class BlockSearchEngine:
                     cur = cur[~np.isin(cur, np.unique(np.concatenate(ni)))]
             return pd.DataFrame({"doc_id": cur.astype("int64")})
 
+        # 1-arg wrapper for applyInPandas (2 params would read as
+        # (key, pdf)); .impl carries the cache-aware form
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return kernel_impl(pdf)
+
+        kernel.impl = kernel_impl
         return kernel
 
     # --------------------------------------------------------- batch
@@ -885,7 +937,7 @@ class BlockSearchEngine:
                 all_kw |= set(req.all_tokens()) | set(req.labels)
             dfs = bi.lookup_terms(sorted(all_kw))
             kernels: dict = {}
-            qrows: list[tuple] = []
+            qsets: dict[str, set] = {}
             meta_rows: list[tuple] = []
             for qid, req in and_q.items():
                 tokens = req.all_tokens()
@@ -901,27 +953,46 @@ class BlockSearchEngine:
                     tokens, keywords, dfs, False,
                     whitelist=wl, f64=double_scores,
                 )
-                qrows.extend((qid, t) for t in set(keywords))
+                qsets[qid] = set(keywords)
                 meta_rows.append(
                     (qid, int(req.max_outputs), int(req.offset),
                      bool(req.reverse_order))
                 )
-            if qrows:
+            if kernels:
                 out_schema = f"query_id STRING, doc_id LONG, score {score_type}"
+                score_np = np.float64 if double_scores else np.float32
 
+                # ONE group per block (not per (query, block)): every
+                # query is served from the same decoded arrays via the
+                # shared per-block cache, so a block's packed bytes
+                # decode once per batch — marginal per-query cost is
+                # its intersection, not a re-decode (this is what
+                # keeps batch wall flat in query count)
                 def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
-                    qid = pdf["query_id"].iloc[0]
-                    out = kernels[qid](pdf)
-                    out.insert(0, "query_id", qid)
-                    return out
+                    shared: dict = {}
+                    in_block = set(pdf["term"])
+                    outs = []
+                    for qid, kern in kernels.items():
+                        qs = qsets[qid]
+                        if not qs <= in_block:
+                            continue  # AND prune before any decode
+                        out = kern.impl(pdf[pdf["term"].isin(qs)], shared)
+                        if len(out):
+                            out.insert(0, "query_id", qid)
+                            outs.append(out)
+                    if not outs:
+                        return pd.DataFrame(
+                            {
+                                "query_id": pd.Series([], dtype=object),
+                                "doc_id": np.array([], np.int64),
+                                "score": np.array([], score_np),
+                            }
+                        )
+                    return pd.concat(outs, ignore_index=True)
 
-                qterms = spark.createDataFrame(
-                    qrows, "query_id STRING, term STRING"
-                )
-                matched = bi.blocks.where(
-                    F.col("term").isin(sorted({t for _, t in qrows}))
-                ).join(F.broadcast(qterms), "term")
-                scored = matched.groupBy("query_id", "block_id").applyInPandas(
+                all_q_terms = sorted(set().union(*qsets.values()))
+                matched = bi.blocks.where(F.col("term").isin(all_q_terms))
+                scored = matched.groupBy("block_id").applyInPandas(
                     dispatch, out_schema
                 )
                 meta = spark.createDataFrame(
@@ -979,7 +1050,7 @@ class BlockSearchEngine:
             all_terms |= set(req.must) | set(req.should) | set(req.not_in)
         present = bi.lookup_terms(sorted(all_terms))
         kernels: dict = {}
-        qrows: list[tuple] = []
+        qsets: dict[str, set] = {}
         meta_rows: list[tuple] = []
         for qid, req in requests.items():
             must = sorted(set(req.must))
@@ -992,24 +1063,38 @@ class BlockSearchEngine:
             if not must and not req.should and not notin_p:
                 continue
             kernels[qid] = self._make_logic_kernel(must, should_p, notin_p)
-            qrows.extend(
-                (qid, t) for t in set(must) | set(should_p) | set(notin_p)
-            )
+            qsets[qid] = set(must) | set(should_p) | set(notin_p)
             meta_rows.append((qid, int(req.max_outputs), int(req.offset)))
-        if not qrows:
+        if not kernels:
             return None
 
+        # one group per block; all queries share the per-block decode
+        # cache (see the AND dispatch for the rationale)
         def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
-            qid = pdf["query_id"].iloc[0]
-            out = kernels[qid](pdf)
-            out.insert(0, "query_id", qid)
-            return out
+            shared: dict = {}
+            in_block = set(pdf["term"])
+            outs = []
+            for qid, kern in kernels.items():
+                qs = qsets[qid]
+                if not qs & in_block:
+                    continue  # no referenced term in this doc range
+                out = kern.impl(pdf[pdf["term"].isin(qs)], shared)
+                if len(out):
+                    out.insert(0, "query_id", qid)
+                    outs.append(out)
+            if not outs:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype=object),
+                        "doc_id": np.array([], np.int64),
+                    }
+                )
+            return pd.concat(outs, ignore_index=True)
 
-        qterms = spark.createDataFrame(qrows, "query_id STRING, term STRING")
         matched = bi.blocks.where(
-            F.col("term").isin(sorted({t for _, t in qrows}))
-        ).join(F.broadcast(qterms), "term")
-        cand = matched.groupBy("query_id", "block_id").applyInPandas(
+            F.col("term").isin(sorted(set().union(*qsets.values())))
+        )
+        cand = matched.groupBy("block_id").applyInPandas(
             dispatch, "query_id STRING, doc_id LONG"
         )
         meta = spark.createDataFrame(
@@ -1038,7 +1123,7 @@ class BlockSearchEngine:
             all_kw |= set(req.all_tokens()) | set(req.labels)
         present = bi.lookup_terms(sorted(all_kw))
         kernels: dict = {}
-        qrows: list[tuple] = []
+        qsets: dict[str, set] = {}
         zero_qids: list[str] = []
         for qid, req in requests.items():
             keywords = sorted(set(req.all_tokens()) | set(req.labels))
@@ -1046,24 +1131,36 @@ class BlockSearchEngine:
                 zero_qids.append(qid)  # missing keyword => count 0
                 continue
             kernels[qid] = self._make_logic_kernel(keywords, [], [])
-            qrows.extend((qid, t) for t in keywords)
+            qsets[qid] = set(keywords)
         out = None
-        if qrows:
+        if kernels:
 
             def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
-                qid = pdf["query_id"].iloc[0]
-                res = kernels[qid](pdf)
-                res.insert(0, "query_id", qid)
-                return res
+                shared: dict = {}
+                in_block = set(pdf["term"])
+                outs = []
+                for qid, kern in kernels.items():
+                    qs = qsets[qid]
+                    if not qs <= in_block:
+                        continue  # AND prune before any decode
+                    res = kern.impl(pdf[pdf["term"].isin(qs)], shared)
+                    if len(res):
+                        res.insert(0, "query_id", qid)
+                        outs.append(res)
+                if not outs:
+                    return pd.DataFrame(
+                        {
+                            "query_id": pd.Series([], dtype=object),
+                            "doc_id": np.array([], np.int64),
+                        }
+                    )
+                return pd.concat(outs, ignore_index=True)
 
-            qterms = spark.createDataFrame(
-                qrows, "query_id STRING, term STRING"
-            )
             matched = bi.blocks.where(
-                F.col("term").isin(sorted({t for _, t in qrows}))
-            ).join(F.broadcast(qterms), "term")
+                F.col("term").isin(sorted(set().union(*qsets.values())))
+            )
             counts = (
-                matched.groupBy("query_id", "block_id")
+                matched.groupBy("block_id")
                 .applyInPandas(dispatch, "query_id STRING, doc_id LONG")
                 .groupBy("query_id")
                 .agg(F.count("*").alias("cnt"))

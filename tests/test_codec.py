@@ -102,3 +102,27 @@ def test_position_lists_roundtrip_fuzz(lists):
     flat, offs = unpack_position_lists(blob, counts)
     got = [flat[offs[i]:offs[i] + counts[i]].tolist() for i in range(len(lists))]
     assert got == lists
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=1 << 30),
+                 min_size=0, max_size=30),
+        min_size=0, max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_position_lists_flat_equals_listform(lists):
+    """The Arrow packer's ragged-flat entry point must emit the exact
+    bytes of the list-of-lists form (block byte-identity depends on
+    it)."""
+    import numpy as np
+
+    from riot_spark.codec import pack_position_lists_flat
+
+    lists = [sorted(p) for p in lists]
+    counts = np.array([len(p) for p in lists], dtype=np.int64)
+    flat = np.array(
+        [v for p in lists for v in p], dtype=np.int64
+    )
+    assert pack_position_lists_flat(flat, counts) == pack_position_lists(lists)

@@ -282,3 +282,69 @@ def test_search_batch_random_shapes_match_single(engines, shapes):
                 [r["score"] for r in got], [r["score"] for r in single],
                 rtol=1e-5, atol=1e-6, err_msg=qid,
             )
+
+
+block_shape_strategy = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(VOCAB[:15] + ["absent1"]),
+                 min_size=1, max_size=2, unique=True),
+        st.sampled_from(["native", "rev", "wl", "count", "orderless",
+                         "logic"]),
+        st.integers(min_value=0, max_value=8),   # k
+        st.integers(min_value=0, max_value=2),   # offset
+    ),
+    min_size=2, max_size=6,
+)
+
+
+@given(block_shape_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_block_batch_random_shapes_match_flat(engines, block_engine, shapes):
+    """BlockSearchEngine.search_batch vs the flat engine's batch over
+    randomized request shapes: the decode-once multi-query dispatch
+    must stay value- and rank-identical on every family (AND top-k,
+    ReverseOrder, whitelist, logic, count, orderless)."""
+    eng, _ = engines
+    reqs = {}
+    for i, (toks, shape, k, off) in enumerate(shapes):
+        if shape == "native":
+            r = SearchRequest(tokens=toks, max_outputs=k, offset=off)
+        elif shape == "rev":
+            r = SearchRequest(tokens=toks, reverse_order=True,
+                              max_outputs=k, offset=off)
+        elif shape == "wl":
+            r = SearchRequest(tokens=toks, doc_ids=list(range(0, 120, 3)),
+                              max_outputs=k, offset=off)
+        elif shape == "count":
+            r = SearchRequest(tokens=toks, count_docs_only=True)
+        elif shape == "orderless":
+            r = SearchRequest(tokens=toks, orderless=True)
+        else:
+            r = SearchRequest(must=toks[:1], should=toks[1:],
+                              max_outputs=k, offset=off)
+        reqs[f"q{i}"] = r
+    got_rows = block_engine.search_batch(reqs).collect()
+    want_rows = eng.search_batch(reqs).collect()
+
+    def by_qid(rows):
+        out: dict[str, list] = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(r)
+        return out
+
+    got, want = by_qid(got_rows), by_qid(want_rows)
+    assert set(got) == set(want)
+    for qid in want:
+        g = sorted(got[qid], key=lambda r: (r["rank"], r["doc_id"] or -1))
+        w = sorted(want[qid], key=lambda r: (r["rank"], r["doc_id"] or -1))
+        assert [(r["doc_id"], r["rank"]) for r in g] == [
+            (r["doc_id"], r["rank"]) for r in w
+        ], qid
+        np.testing.assert_allclose(
+            [r["score"] for r in g], [r["score"] for r in w],
+            rtol=1e-5, atol=1e-6, err_msg=qid,
+        )
