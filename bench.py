@@ -202,12 +202,10 @@ def main() -> None:
 
     # block-path batched execution — the QPS story on the packed
     # layout that exists at 100 TB (flat postings are the correctness
-    # twin you cannot afford to keep at scale). Same mixed set minus
-    # the proximity-criteria queries (per-query search_and serves
-    # those on the block path).
-    block_mixed = {
-        qid: req for qid, req in mixed.items() if req.criteria == "bm25"
-    }
+    # twin you cannot afford to keep at scale). The FULL mixed set:
+    # every shape family (AND/rev/whitelist, proximity-criteria,
+    # logic, count, orderless) batches on blocks too.
+    block_mixed = dict(mixed)
 
     def run_block_mixed():
         beng.search_batch(block_mixed).collect()

@@ -773,12 +773,17 @@ class BlockSearchEngine:
 
     @staticmethod
     def _make_logic_kernel(
-        must_set: list[str], should_set: list[str], notin_set: list[str]
+        must_set: list[str],
+        should_set: list[str],
+        notin_set: list[str],
+        whitelist: np.ndarray | None = None,
     ):
         """Per-doc-range must/should/notIn set-algebra kernel — shared
         by search_logic and the batch executor.  Correct per group
         because all of a doc's postings for the referenced terms share
-        its block_id."""
+        its block_id.  `whitelist` (sorted int64) keeps only those doc
+        ids (the reference's LogicLookup applies DocIds the same way,
+        core/indexer.go:632-637)."""
         decode_ids = BlockSearchEngine._decode_ids
 
         def kernel_impl(
@@ -839,13 +844,16 @@ class BlockSearchEngine:
                 if not ni:
                     return empty
                 # notIn-only quirk: the notIn docs themselves
-                return pd.DataFrame(
-                    {"doc_id": np.unique(np.concatenate(ni)).astype("int64")}
-                )
+                cur = np.unique(np.concatenate(ni))
+                if whitelist is not None:
+                    cur = cur[np.isin(cur, whitelist, assume_unique=True)]
+                return pd.DataFrame({"doc_id": cur.astype("int64")})
             if notin_set:
                 ni = [term_ids(t) for t in notin_set if t in rows_by_term]
                 if ni:
                     cur = cur[~np.isin(cur, np.unique(np.concatenate(ni)))]
+            if whitelist is not None:
+                cur = cur[np.isin(cur, whitelist, assume_unique=True)]
             return pd.DataFrame({"doc_id": cur.astype("int64")})
 
         # 1-arg wrapper for applyInPandas (2 params would read as
@@ -866,60 +874,58 @@ class BlockSearchEngine:
         postings are a correctness twin you cannot afford to keep at
         scale).
 
-        One block scan per shape family: all AND/BM25 queries (labels,
-        DocIds whitelist, ReverseOrder, offset) share a broadcast
-        (query_id, term) join and ONE applyInPandas pass keyed by
-        (query_id, block_id) — each group decodes, intersects and
-        scores independently, so hot terms spread across doc-range
-        blocks with no single-reducer skew; ranking uses the same
-        skew-proof partial top-k as the flat batch.  Logic
-        must/should/notIn (+ orderless rides as must) is a second
-        keyed pass; CountDocsOnly a third (no tf decode).
+        One block scan per shape family, each a single applyInPandas
+        pass keyed by block_id where every query of the family is
+        served from one per-block decode cache: AND/BM25 (labels,
+        DocIds whitelist, ReverseOrder, offset), proximity-criteria
+        (packed positions), logic must/should/notIn incl. whitelist
+        (+ orderless rides as must, with or without a whitelist), and
+        CountDocsOnly incl. whitelist (no tf decode).  Hot terms
+        spread across doc-range blocks (no single-reducer skew);
+        ranking reuses the flat batch's df-gated partial top-k.
 
         Returns (query_id, doc_id, score, rank) like
         SearchEngine.search_batch: count rows as doc_id = NULL /
-        score = match count / rank = 0; unsupported shapes raise
-        ValueError (never silently dropped)."""
+        score = match count / rank = 0; the one remaining unsupported
+        shape (a callable ScoringCriteria) raises ValueError (never
+        silently dropped)."""
         from riot_spark.query import SearchEngine, SearchRequest
 
         bi = self.bi
         spark = bi.blocks.sparkSession
         score_type = "DOUBLE" if double_scores else "FLOAT"
         and_q: dict[str, SearchRequest] = {}
+        prox_q: dict[str, SearchRequest] = {}
         logic_q: dict[str, SearchRequest] = {}
         count_q: dict[str, SearchRequest] = {}
         for qid, req in requests.items():
             is_logic = bool(req.must or req.should or req.not_in)
-            plain = not req.count_docs_only and not req.orderless
             if not is_logic:
                 if req.count_docs_only:
-                    if req.doc_ids is not None:
-                        raise ValueError(
-                            f"{qid!r}: CountDocsOnly+whitelist is not "
-                            "batchable on the block path"
-                        )
                     count_q[qid] = req
                 elif req.orderless:
-                    if req.doc_ids is not None:
-                        raise ValueError(
-                            f"{qid!r}: orderless+whitelist is not "
-                            "batchable on the block path"
-                        )
                     logic_q[qid] = SearchRequest(
-                        must=req.all_tokens() + list(req.labels)
+                        must=req.all_tokens() + list(req.labels),
+                        doc_ids=req.doc_ids,
                     )
                 elif req.criteria == "bm25":
                     and_q[qid] = req
+                elif req.criteria == "proximity":
+                    if not bi.has_positions:
+                        raise ValueError(
+                            f"{qid!r}: criteria='proximity' needs a "
+                            "LocsIndex block store (no packed positions)"
+                        )
+                    prox_q[qid] = req
                 else:
                     raise ValueError(
-                        f"{qid!r}: criteria={req.criteria!r} is not "
-                        "batchable on the block path (use search_and"
-                        "(proximity=True) per query)"
+                        f"{qid!r}: a callable ScoringCriteria is not "
+                        "batchable on the block path"
                     )
             elif (
-                plain
+                not req.count_docs_only
+                and not req.orderless
                 and not req.reverse_order
-                and req.doc_ids is None
                 and req.criteria == "bm25"
             ):
                 logic_q[qid] = req
@@ -1014,6 +1020,11 @@ class BlockSearchEngine:
                     )
                 )
 
+        if prox_q:
+            ranked = self._prox_batch_exec(prox_q, score_type, double_scores)
+            if ranked is not None:
+                parts.append(ranked)
+
         if logic_q:
             ranked = self._logic_batch_exec(logic_q, score_type)
             if ranked is not None:
@@ -1032,6 +1043,93 @@ class BlockSearchEngine:
         for d in parts[1:]:
             out = out.unionByName(d)
         return out
+
+    def _prox_batch_exec(
+        self, requests: dict, score_type: str, double_scores: bool
+    ) -> DataFrame | None:
+        """All RankByTokenProximity queries as one keyed pass over the
+        packed positions (Q8 criteria batched on the block layout):
+        score = 1/(proximity+1), 0 for unscorable docs — the flat
+        batch's criteria contract.  Same decode-once multi-query
+        dispatch as the AND family."""
+        from riot_spark.query import SearchEngine
+
+        bi = self.bi
+        all_kw: set[str] = set()
+        for req in requests.values():
+            all_kw |= set(req.all_tokens()) | set(req.labels)
+        dfs = bi.lookup_terms(sorted(all_kw))
+        kernels: dict = {}
+        qsets: dict[str, set] = {}
+        meta_rows: list[tuple] = []
+        for qid, req in requests.items():
+            tokens = req.all_tokens()
+            keywords = tokens + [t for t in req.labels if t not in tokens]
+            if not keywords or any(t not in dfs for t in keywords):
+                continue  # missing keyword => empty
+            wl = None
+            if req.doc_ids is not None:
+                wl = np.unique(
+                    np.asarray([int(d) for d in req.doc_ids], np.int64)
+                )
+            kernels[qid] = self._make_and_kernel(
+                tokens, keywords, dfs, True, whitelist=wl
+            )
+            qsets[qid] = set(keywords)
+            meta_rows.append(
+                (qid, int(req.max_outputs), int(req.offset),
+                 bool(req.reverse_order))
+            )
+        if not kernels:
+            return None
+        spark = bi.blocks.sparkSession
+
+        def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
+            shared: dict = {}
+            in_block = set(pdf["term"])
+            outs = []
+            for qid, kern in kernels.items():
+                qs = qsets[qid]
+                if not qs <= in_block:
+                    continue
+                out = kern.impl(pdf[pdf["term"].isin(qs)], shared)
+                if len(out):
+                    out = out[["doc_id", "proximity"]].copy()
+                    out.insert(0, "query_id", qid)
+                    outs.append(out)
+            if not outs:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype=object),
+                        "doc_id": np.array([], np.int64),
+                        "proximity": np.array([], np.int32),
+                    }
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        matched = bi.blocks.where(
+            F.col("term").isin(sorted(set().union(*qsets.values())))
+        )
+        scored = matched.groupBy("block_id").applyInPandas(
+            dispatch, "query_id STRING, doc_id LONG, proximity INT"
+        )
+        meta = spark.createDataFrame(
+            meta_rows, "query_id STRING, k INT, qoffset INT, rev BOOLEAN"
+        )
+        crit = F.when(
+            F.col("proximity") >= 0,
+            (F.lit(1.0) / (F.col("proximity") + 1.0)).cast("float"),
+        ).otherwise(F.lit(0.0).cast("float"))
+        if double_scores:
+            crit = F.round(crit.cast("double"), 4)
+        dir_col = F.when(F.col("rev"), F.lit(-1.0)).otherwise(F.lit(1.0))
+        return SearchEngine._rank_slice(
+            scored.join(F.broadcast(meta), "query_id").select(
+                "query_id", "doc_id", crit.alias("score"),
+                "k", "qoffset", dir_col.alias("dir"),
+            ),
+            partial=SearchEngine._needs_partial(requests, dfs),
+        )
 
     def _logic_batch_exec(
         self, requests: dict, score_type: str
@@ -1062,7 +1160,14 @@ class BlockSearchEngine:
                 continue  # every should term absent => empty
             if not must and not req.should and not notin_p:
                 continue
-            kernels[qid] = self._make_logic_kernel(must, should_p, notin_p)
+            wl = None
+            if req.doc_ids is not None:
+                wl = np.unique(
+                    np.asarray([int(d) for d in req.doc_ids], np.int64)
+                )
+            kernels[qid] = self._make_logic_kernel(
+                must, should_p, notin_p, whitelist=wl
+            )
             qsets[qid] = set(must) | set(should_p) | set(notin_p)
             meta_rows.append((qid, int(req.max_outputs), int(req.offset)))
         if not kernels:
@@ -1130,7 +1235,14 @@ class BlockSearchEngine:
             if not keywords or any(t not in present for t in keywords):
                 zero_qids.append(qid)  # missing keyword => count 0
                 continue
-            kernels[qid] = self._make_logic_kernel(keywords, [], [])
+            wl = None
+            if req.doc_ids is not None:
+                wl = np.unique(
+                    np.asarray([int(d) for d in req.doc_ids], np.int64)
+                )
+            kernels[qid] = self._make_logic_kernel(
+                keywords, [], [], whitelist=wl
+            )
             qsets[qid] = set(keywords)
         out = None
         if kernels:
@@ -1191,7 +1303,9 @@ class BlockSearchEngine:
         """Single-request twin of SearchEngine.search on the packed
         layout — serves the full riot request-shape surface
         (types/search_request.go:19-54): DocIds whitelist, offset,
-        ReverseOrder, CountDocsOnly, orderless, logic, labels.
+        ReverseOrder, CountDocsOnly, orderless, logic, labels,
+        proximity criteria — and every pairwise combination of them
+        (count+whitelist, orderless+whitelist, logic+whitelist, ...).
         Output shapes mirror the flat engine: count -> (num_docs),
         orderless/logic -> (doc_id), ranked -> (doc_id, score)."""
         dbl = bool(getattr(req, "double_scores", False))

@@ -271,6 +271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_block_reverse_order"] = _ft_block_reverse_order
     q["ft_block_count_only"] = _ft_block_count_only
     q["ft_block_orderless"] = _ft_block_orderless
+    # criteria=proximity batches on the packed positions too
+    q["ft_block_criteria_proximity"] = _ft_block_criteria_proximity
 
     # token proximity (Q5, core/indexer.go:723-813): 2-term DP =
     # min over position pairs |p2 - p1 - bytelen(t1)| — SQL-expressible
@@ -537,6 +539,18 @@ def _ft_block_orderless(spark, sf) -> DataFrame:
     return _block_engine(spark, sf).search(
         SearchRequest(text="group order", orderless=True)
     ).orderBy("doc_id")
+
+
+def _ft_block_criteria_proximity(spark, sf) -> DataFrame:
+    """RankByTokenProximity on the BLOCK batch executor (score =
+    1/(proximity+1) from packed positions) — same oracle as the flat
+    ft_criteria_proximity."""
+    eng = _block_engine(spark, sf)
+    req = SearchRequest(
+        tokens=["data", "query"], scorer="float32", criteria="proximity"
+    )
+    res = eng.search_batch({"q": req}, double_scores=True)
+    return res.select("doc_id", "score").orderBy("doc_id")
 
 
 def _logic_rank_sql(
@@ -1225,6 +1239,9 @@ prox AS (
 SELECT doc_id, round(1.0 / (proximity + 1.0), 4) AS score
 FROM prox ORDER BY doc_id
 """
+    # the block batch executor must reproduce the same criteria scores
+    # from the PACKED positions
+    o["ft_block_criteria_proximity"] = o["ft_criteria_proximity"]
     o["stream_compact_df"] = f"""
 WITH {_TOKS_CTE}
 SELECT term, count(*)::BIGINT AS df FROM tf

@@ -927,6 +927,25 @@ class SearchEngine:
                 continue
             r = self.search(req)
             if set(r.columns) == {"doc_id"}:
+                # logic-shaped fallback (e.g. logic + whitelist): emit
+                # candidate rows exactly like the batched logic family
+                # (score 0, ranked by doc_id, rank continuing past the
+                # offset) — never silently dropped
+                parts_df.append(
+                    r.select(
+                        F.lit(qid).alias("query_id"),
+                        "doc_id",
+                        F.lit(0.0).cast(score_t).alias("score"),
+                        (
+                            F.row_number().over(
+                                Window.partitionBy(F.lit(1)).orderBy(
+                                    F.asc("doc_id")
+                                )
+                            )
+                            + F.lit(int(req.offset))
+                        ).alias("rank"),
+                    )
+                )
                 continue
             parts_df.append(
                 r.select(

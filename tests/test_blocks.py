@@ -387,17 +387,21 @@ def test_block_search_batch_matches_flat(sf_index, bindex):
     ReverseOrder, whitelist), logic, orderless, count."""
     flat_eng = SearchEngine(sf_index)
     block_eng = BlockSearchEngine(bindex)
+    wl_ids = list(range(0, 100, 2))
     reqs = {
         "and1": SearchRequest(text="data query", max_outputs=10),
         "and2": SearchRequest(text="batch", max_outputs=5, offset=3),
         "rev": SearchRequest(text="data query", max_outputs=10,
                              reverse_order=True),
-        "wl": SearchRequest(text="data", doc_ids=list(range(0, 100, 2)),
-                            max_outputs=10),
+        "wl": SearchRequest(text="data", doc_ids=wl_ids, max_outputs=10),
         "all": SearchRequest(text="group order"),  # unlimited
         "missing": SearchRequest(text="data zzzqx", max_outputs=10),
         "orderless": SearchRequest(text="group order", orderless=True),
         "count": SearchRequest(text="data query", count_docs_only=True),
+        "count_wl": SearchRequest(text="data", doc_ids=wl_ids,
+                                  count_docs_only=True),
+        "orderless_wl": SearchRequest(text="data", doc_ids=wl_ids,
+                                      orderless=True),
         "logic": SearchRequest(must=["data"], should=["query", "spark"],
                                not_in=["dup"]),
         "logic_k": SearchRequest(must=["data"], not_in=["query"],
@@ -455,9 +459,51 @@ def test_block_search_request_surface(sf_index, bindex):
     oreq = SearchRequest(text="group order", orderless=True)
     assert sorted(r["doc_id"] for r in block_eng.search(oreq).collect()) == \
         sorted(r["doc_id"] for r in flat_eng.search(oreq).collect())
-    # unsupported combos raise, never silently drop
+    # the one remaining unsupported shape (callable criteria) raises,
+    # never silently drops
     with pytest.raises(ValueError):
         block_eng.search_batch(
-            {"bad": SearchRequest(text="data", doc_ids=[1],
-                                  count_docs_only=True)}
+            {"bad": SearchRequest(text="data",
+                                  criteria=lambda pdf: pdf["score"])}
+        )
+    # proximity criteria on a freq-only block store raises too (no
+    # packed positions to serve it from)
+    with pytest.raises(ValueError):
+        block_eng.search_batch(
+            {"p": SearchRequest(text="data", criteria="proximity")}
+        )
+
+
+def test_block_batch_proximity_criteria(locs_sf_index, locs_bindex):
+    """criteria='proximity' batches on the packed positions: block
+    batch vs flat batch, incl. a mixed family batch (prox + AND +
+    logic in one call)."""
+    flat_eng = SearchEngine(locs_sf_index)
+    block_eng = BlockSearchEngine(locs_bindex)
+    reqs = {
+        "p1": SearchRequest(tokens=["data", "query"], scorer="float32",
+                            criteria="proximity", max_outputs=10),
+        "p2": SearchRequest(tokens=["join", "filter"], scorer="float32",
+                            criteria="proximity", max_outputs=5, offset=2),
+        "a1": SearchRequest(text="data query", max_outputs=10),
+        "l1": SearchRequest(must=["data"], not_in=["dup"], max_outputs=8),
+    }
+    got = block_eng.search_batch(reqs).collect()
+    want = flat_eng.search_batch(reqs).collect()
+
+    def by_qid(rows):
+        out: dict[str, list] = {}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            out.setdefault(r["query_id"], []).append(r)
+        return out
+
+    g, w = by_qid(got), by_qid(want)
+    assert set(g) == set(w)
+    for qid in w:
+        assert [(r["doc_id"], r["rank"]) for r in g[qid]] == [
+            (r["doc_id"], r["rank"]) for r in w[qid]
+        ], qid
+        np.testing.assert_allclose(
+            [r["score"] for r in g[qid]], [r["score"] for r in w[qid]],
+            rtol=1e-5, atol=1e-6, err_msg=qid,
         )
