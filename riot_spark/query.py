@@ -563,17 +563,27 @@ class SearchEngine:
     def _candidate_bound(req, dfs: dict[str, int]) -> int:
         """Upper bound on a request's candidate-set size from term
         document frequencies: AND intersects (min df); should-only
-        unions (sum); notIn-only returns the notIn docs (sum)."""
+        unions (sum); notIn-only returns the notIn docs (sum); a
+        DocIds whitelist caps everything at its length."""
+        cap = (
+            len(req.doc_ids)
+            if getattr(req, "doc_ids", None) is not None
+            else None
+        )
+
+        def capped(n: int) -> int:
+            return n if cap is None else min(n, cap)
+
         must = sorted(set(req.must))
         if must:
-            return min(dfs.get(t, 0) for t in must)
+            return capped(min(dfs.get(t, 0) for t in must))
         if req.should:
-            return sum(dfs.get(t, 0) for t in set(req.should))
+            return capped(sum(dfs.get(t, 0) for t in set(req.should)))
         if req.not_in:
-            return sum(dfs.get(t, 0) for t in set(req.not_in))
+            return capped(sum(dfs.get(t, 0) for t in set(req.not_in)))
         toks = req.all_tokens() + [t for t in req.labels]
         if toks:
-            return min(dfs.get(t, 0) for t in set(toks))
+            return capped(min(dfs.get(t, 0) for t in set(toks)))
         return 0
 
     @classmethod
