@@ -167,6 +167,32 @@ def test_read_old_format_blocks(tmp_path, spark, sf_index, bindex):
     assert [r["doc_id"] for r in res] == [r["doc_id"] for r in flat]
 
 
+def test_persisted_blocks_serve_batch(tmp_path, spark, locs_sf_index, locs_bindex):
+    """The batch executor must work against a store READ BACK from
+    parquet (the deployment shape: build once, persist, serve) —
+    identical rows to the cached in-session index."""
+    path = str(tmp_path / "batch_bidx")
+    write_blocked_index(locs_bindex, path, input_paths=[], config_repr="b")
+    bi = read_blocked_index(spark, path)
+    reqs = {
+        "a": SearchRequest(text="data query", max_outputs=10),
+        "p": SearchRequest(tokens=["data", "query"], scorer="float32",
+                           criteria="proximity", max_outputs=5),
+        "l": SearchRequest(must=["data"], not_in=["dup"], max_outputs=8),
+        "c": SearchRequest(text="data query", count_docs_only=True),
+    }
+    got = BlockSearchEngine(bi).search_batch(reqs).collect()
+    want = BlockSearchEngine(locs_bindex).search_batch(reqs).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"] or -1)  # noqa: E731
+    assert sorted(
+        (r["query_id"], r["doc_id"], np.float32(r["score"]), r["rank"])
+        for r in got
+    ) == sorted(
+        (r["query_id"], r["doc_id"], np.float32(r["score"]), r["rank"])
+        for r in want
+    )
+
+
 def test_persisted_blocks_serve_proximity(tmp_path, spark, locs_sf_index, locs_bindex):
     """Packed positions must survive the write/read round-trip: the
     reloaded index serves proximity + snippets identically."""
