@@ -392,6 +392,56 @@ def build_blocks_arrow(index: Index, doc_block_bits: int = 13) -> DataFrame:
     return index.postings.select(cols).mapInArrow(pack, schema=BLOCKS_SCHEMA)
 
 
+def jvm_pack_available(spark: SparkSession) -> bool:
+    """True when the compiled JVM packer (riotspark.jar) is on this
+    session's driver classpath.  False for sessions created outside
+    riot_spark.session.get_spark (e.g. the correctness harness) —
+    those fall back to the Arrow packer transparently."""
+    try:
+        spark._jvm.java.lang.Class.forName("riotspark.BlockPack")
+        return True
+    except Exception:
+        return False
+
+
+def build_blocks_jvm(index: Index, doc_block_bits: int = 13) -> DataFrame:
+    """JVM-native twin of :func:`build_blocks_arrow` (byte-identical
+    output, differential-tested in tests/test_jvm_packer.py).
+
+    The Arrow packer's floor is the JVM->Python->JVM transfer itself
+    (~9s of a 10.8s pack at 30M postings — BENCH.md); this one runs
+    the identical pack as a Scala mapPartitions inside the executor
+    JVM (riot_spark/jvm/BlockPack.scala), so the only cost left is the
+    codec.  Same contract as the Python packers: input arrives
+    (term, salt)-partitioned and (term, doc_id)-sorted from the build,
+    so (term, block) groups are contiguous within a partition."""
+    if getattr(index.config, "build_salts", 1) > 1:
+        assert doc_block_bits <= index.config.salt_block_bits, (
+            "block granularity must be at least as coarse-grained as the "
+            "build salt ranges or a block would straddle partitions"
+        )
+    spark = index.postings.sparkSession
+    locs = index.config.index_type == LOCS_INDEX
+    cols = [
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("term"),
+        F.col("tf").cast("float").alias("tf"),
+        F.col("token_len").cast("float").alias("token_len"),
+        F.col("is_label").cast("boolean").alias("is_label"),
+    ]
+    if locs:
+        cols.append(F.col("positions").cast("array<int>").alias("positions"))
+    jdf = spark._jvm.riotspark.BlockPack.pack(
+        index.postings.select(cols)._jdf,
+        doc_block_bits,
+        float(index.config.bm25.k1),
+        float(index.config.bm25.b),
+        float(index.avgdl or 0.0),
+        locs,
+    )
+    return DataFrame(jdf, spark)
+
+
 @dataclass
 class BlockedIndex:
     blocks: DataFrame
@@ -413,12 +463,23 @@ def blocked_from_index(
     index: Index,
     doc_block_bits: int = 13,
     cache: bool = True,
-    packer: str = "arrow",
+    packer: str = "auto",
 ) -> BlockedIndex:
-    """packer='arrow' (default) uses the boxing-free mapInArrow
-    packer; 'pandas' keeps the original mapInPandas one (byte-
-    identical outputs, differential-tested)."""
-    build = build_blocks_arrow if packer == "arrow" else build_blocks
+    """packer='auto' (default) picks the JVM mapPartitions packer when
+    riotspark.jar is on the session classpath, else the boxing-free
+    mapInArrow one; 'jvm'/'arrow'/'pandas' force a specific packer
+    (byte-identical outputs, differential-tested)."""
+    if packer == "auto":
+        packer = (
+            "jvm"
+            if jvm_pack_available(index.postings.sparkSession)
+            else "arrow"
+        )
+    build = {
+        "jvm": build_blocks_jvm,
+        "arrow": build_blocks_arrow,
+        "pandas": build_blocks,
+    }[packer]
     blocks = build(index, doc_block_bits)
     if cache:
         blocks = blocks.cache()

@@ -43,6 +43,18 @@ def _gc_opts() -> str:
     return ""
 
 
+def jvm_jar_path() -> str | None:
+    """Path of the compiled JVM kernel jar (riotspark.jar), if built.
+
+    The jar holds the JVM-side block packer (riot_spark/jvm/
+    BlockPack.scala; rebuild with tools/build_jvm.sh).  It is loaded
+    via extraClassPath at session creation; sessions created elsewhere
+    (the driver harness builds its own SparkSession) simply fall back
+    to the Arrow packer — see blocks.jvm_pack_available."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jvm", "riotspark.jar")
+    return p if os.path.exists(p) else None
+
+
 def _local_dir() -> str:
     """tmpfs scratch when /dev/shm is big enough, else the system temp
     dir (containers commonly cap /dev/shm at 64MB — a shuffle there
@@ -97,4 +109,13 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    jar = jvm_jar_path()
+    if jar:
+        # static confs: only effective for the session that launches
+        # the JVM — getOrCreate() returning an existing session keeps
+        # its classpath, which is why callers probe
+        # blocks.jvm_pack_available instead of assuming
+        builder = builder.config(
+            "spark.driver.extraClassPath", jar
+        ).config("spark.executor.extraClassPath", jar)
     return builder.getOrCreate()
