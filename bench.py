@@ -190,6 +190,18 @@ def main() -> None:
 
     from riot_spark.blocks import BlockSearchEngine, blocked_from_index
 
+    # pack wall (packer='auto' -> the JVM kernel when riotspark.jar is
+    # on the classpath, else Arrow); measured like the builds:
+    # best-of-2 on uncached output, then cached for the query sections
+    t_pack = None
+    n_block_postings = lidx.postings.count()
+    for _ in range(2):
+        t0 = time.perf_counter()
+        blocked_from_index(lidx, doc_block_bits=8, cache=False).blocks.count()
+        dt = time.perf_counter() - t0
+        t_pack = dt if t_pack is None else min(t_pack, dt)
+    queries["pack_blocks"] = t_pack
+    pack_postings_per_sec = round(n_block_postings / t_pack, 1)
     bi = blocked_from_index(lidx, doc_block_bits=8)
     bi.blocks.count()
     beng = BlockSearchEngine(bi)
@@ -230,6 +242,7 @@ def main() -> None:
         "mixed_batch_queries_per_sec": round(len(mixed) / t_mixed, 2),
         "block_batch_queries_per_sec": round(len(block_mixed) / t_bmixed, 2),
         "pages_build_entries_per_sec": pages_entries_per_sec,
+        "pack_postings_per_sec": pack_postings_per_sec,
         "cpus": cpus,
     }
     print(json.dumps(out))
