@@ -509,6 +509,18 @@ class BlockSearchEngine:
     def __init__(self, bindex: BlockedIndex):
         self.bi = bindex
 
+    # WAND's bound walk trades 2-3 extra sequential Spark jobs
+    # (~0.3-0.6 s of scheduling latency) for skipped posting decodes.
+    # The kernel decodes several million postings per second across
+    # the executors, so below ~half a million candidate postings
+    # (driver-side bound: Σ df over the query's keywords, known from
+    # the stats cache without touching data) the single-pass
+    # decode-everything plan is strictly cheaper — same df-gated
+    # philosophy as the flat path's PARTIAL_TOPK_MIN_DF.  The budgeted
+    # walk ignores this gate: its partial-result contract needs
+    # bound-ordered increments regardless of cost.
+    WAND_MIN_POSTINGS = 500_000
+
     @staticmethod
     def _decode_ids(row) -> np.ndarray:
         return delta_decode(bytes(row["doc_ids"]))
@@ -564,7 +576,7 @@ class BlockSearchEngine:
             return spark.createDataFrame([], out_schema)
         kernel = self._make_and_kernel(tok_list, keywords, dfs, do_prox)
         matched = bi.blocks.where(F.col("term").isin(keywords))
-        if k and not do_prox:
+        if k and not do_prox and sum(dfs.values()) >= self.WAND_MIN_POSTINGS:
             wand, _ = self._wand_topk(
                 matched, kernel, tok_list, [dfs[t] for t in tok_list],
                 len(set(keywords)), k, mode=wand_mode,

@@ -240,6 +240,7 @@ def test_wand_topk_exact(bindex, toks, k):
     """The block-max WAND pruned path must return exactly the unpruned
     top-k (same docs, scores, order)."""
     eng = BlockSearchEngine(bindex)
+    eng.WAND_MIN_POSTINGS = 0  # smoke corpus is below the df gate
     pruned = eng.search_and(toks, k=k).collect()
     full = (
         eng.search_and(toks, k=0)
@@ -264,6 +265,7 @@ def test_wand_threshold_mode_exact_fewer_jobs(spark, bindex, toks, k):
     the chunk walk's top-k while launching fewer or equal Spark jobs
     — constant ~4 jobs regardless of how many chunks the walk needs."""
     eng = BlockSearchEngine(bindex)
+    eng.WAND_MIN_POSTINGS = 0  # smoke corpus is below the df gate
 
     def run(mode, group):
         sc = spark.sparkContext
@@ -281,6 +283,33 @@ def test_wand_threshold_mode_exact_fewer_jobs(spark, bindex, toks, k):
         (r["doc_id"], np.float32(r["score"])) for r in chk_rows
     ]
     assert thr_jobs <= max(chk_jobs, 5)
+
+
+def test_wand_df_gate_single_pass(spark, bindex):
+    """Below WAND_MIN_POSTINGS candidate postings (driver-side Σdf
+    bound), k > 0 must take the single-pass decode-all plan — same
+    rows as the forced WAND walk, strictly fewer Spark jobs (the walk
+    pays 2-3 extra sequential jobs that cannot pay off when decoding
+    everything is already cheap)."""
+    gated = BlockSearchEngine(bindex)  # class default: gate engaged
+    forced = BlockSearchEngine(bindex)
+    forced.WAND_MIN_POSTINGS = 0
+
+    def run(eng, group):
+        sc = spark.sparkContext
+        sc.setJobGroup(group, group)
+        try:
+            rows = eng.search_and(["data", "query"], k=7).collect()
+        finally:
+            sc.setJobGroup("", "")
+        return rows, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    got, gated_jobs = run(gated, "wand_gate_on")
+    want, forced_jobs = run(forced, "wand_gate_off")
+    assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
+        (r["doc_id"], np.float32(r["score"])) for r in want
+    ]
+    assert gated_jobs < forced_jobs
 
 
 @pytest.fixture(scope="module")

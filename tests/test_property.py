@@ -139,7 +139,11 @@ def block_engine(engines):
     from riot_spark.blocks import BlockSearchEngine, blocked_from_index
 
     eng, _ = engines
-    return BlockSearchEngine(blocked_from_index(eng.index, doc_block_bits=5))
+    beng = BlockSearchEngine(blocked_from_index(eng.index, doc_block_bits=5))
+    # the tiny property corpus is far below the df gate; force the
+    # WAND path so the pruned walk stays under random-query fire
+    beng.WAND_MIN_POSTINGS = 0
+    return beng
 
 
 @given(
