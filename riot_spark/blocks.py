@@ -521,6 +521,55 @@ class BlockSearchEngine:
     # bound-ordered increments regardless of cost.
     WAND_MIN_POSTINGS = 500_000
 
+    def _make_jvm_and_apply(
+        self,
+        tok_list: list[str],
+        keywords: list[str],
+        dfs: dict[str, int],
+        whitelist: np.ndarray | None = None,
+    ):
+        """JVM twin of the pandas AND kernel (non-proximity): returns
+        an apply(df)->DataFrame that decodes/intersects/scores inside
+        the executor (riot_spark/jvm/BlockQuery.scala), or None when
+        riotspark.jar is not on this session's classpath.  idf values
+        are fixed driver-side with numpy's float64 log2 and truncated
+        to float32 so the JVM never computes a log — bit-identical
+        scores to bm25_score_f32_vec by construction of the op order
+        (differential-tested)."""
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        if not jvm_pack_available(spark):
+            return None
+        p = bi.params
+        idf = [
+            float(np.float32(np.log2(bi.n_docs / dfs[t] + 1.0)))
+            for t in tok_list
+        ]
+        df_list = [int(dfs[t]) for t in tok_list]
+        wl = (
+            None
+            if whitelist is None
+            else [int(x) for x in np.sort(np.asarray(whitelist))]
+        )
+        cols = ["term", "block_id", "is_label", "doc_ids", "tfs", "token_lens"]
+
+        def apply_and(df: DataFrame) -> DataFrame:
+            jdf = spark._jvm.riotspark.BlockQuery.searchAnd(
+                df.select(cols)._jdf,
+                list(tok_list),
+                idf,
+                df_list,
+                list(keywords),
+                float(p.k1),
+                float(p.b),
+                float(bi.avgdl),
+                bool(bi.has_positions),
+                wl,
+            )
+            return DataFrame(jdf, spark)
+
+        return apply_and
+
     @staticmethod
     def _decode_ids(row) -> np.ndarray:
         return delta_decode(bytes(row["doc_ids"]))
@@ -574,16 +623,26 @@ class BlockSearchEngine:
         dfs = bi.lookup_terms(keywords)
         if not keywords or any(t not in dfs for t in keywords):
             return spark.createDataFrame([], out_schema)
-        kernel = self._make_and_kernel(tok_list, keywords, dfs, do_prox)
         matched = bi.blocks.where(F.col("term").isin(keywords))
+        apply_and = (
+            self._make_jvm_and_apply(tok_list, keywords, dfs)
+            if not do_prox
+            else None
+        )
+        if apply_and is None:
+            kernel = self._make_and_kernel(tok_list, keywords, dfs, do_prox)
+
+            def apply_and(df):
+                return df.groupBy("block_id").applyInPandas(kernel, out_schema)
+
         if k and not do_prox and sum(dfs.values()) >= self.WAND_MIN_POSTINGS:
             wand, _ = self._wand_topk(
-                matched, kernel, tok_list, [dfs[t] for t in tok_list],
+                matched, apply_and, tok_list, [dfs[t] for t in tok_list],
                 len(set(keywords)), k, mode=wand_mode,
             )
             if wand is not None:
                 return wand
-        scored = matched.groupBy("block_id").applyInPandas(kernel, out_schema)
+        scored = apply_and(matched)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k else out
 
@@ -792,19 +851,25 @@ class BlockSearchEngine:
         dfs = bi.lookup_terms(keywords)
         if not keywords or any(t not in dfs for t in keywords):
             return spark.createDataFrame([], "doc_id LONG, score FLOAT"), False
-        kernel = self._make_and_kernel(tok_list, keywords, dfs, False)
         matched = bi.blocks.where(F.col("term").isin(keywords))
+        apply_and = self._make_jvm_and_apply(tok_list, keywords, dfs)
+        if apply_and is None:
+            kernel = self._make_and_kernel(tok_list, keywords, dfs, False)
+
+            def apply_and(df):
+                return df.groupBy("block_id").applyInPandas(
+                    kernel, "doc_id LONG, score FLOAT"
+                )
+
         wand, timed_out = self._wand_topk(
-            matched, kernel, tok_list, [dfs[t] for t in tok_list],
+            matched, apply_and, tok_list, [dfs[t] for t in tok_list],
             len(set(keywords)), k,
             deadline=_time.monotonic() + budget_s,
         )
         if wand is not None:
             return wand, timed_out
         # too few groups for WAND: the single-pass result is exact
-        scored = matched.groupBy("block_id").applyInPandas(
-            kernel, "doc_id LONG, score FLOAT"
-        )
+        scored = apply_and(matched)
         return (
             scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k),
             False,
@@ -1392,7 +1457,7 @@ class BlockSearchEngine:
     def _wand_topk(
         self,
         matched: DataFrame,
-        kernel,
+        apply_and,
         tok_list: list[str],
         df_list: list[int],
         n_kw: int,
@@ -1499,9 +1564,7 @@ class BlockSearchEngine:
                 body, peek = chunk[:take], chunk[take:]
                 chunk_ids = [int(g["block_id"]) for g in body]
                 rows = (
-                    matched.where(F.col("block_id").isin(chunk_ids))
-                    .groupBy("block_id")
-                    .applyInPandas(kernel, out_schema)
+                    apply_and(matched.where(F.col("block_id").isin(chunk_ids)))
                     .orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(k)
                     .collect()
@@ -1522,9 +1585,7 @@ class BlockSearchEngine:
                         & ~F.col("block_id").isin(done_ids)
                     ).select("block_id")
                     more = (
-                        matched.join(rest, "block_id")
-                        .groupBy("block_id")
-                        .applyInPandas(kernel, out_schema)
+                        apply_and(matched.join(rest, "block_id"))
                         .orderBy(F.desc("score"), F.asc("doc_id"))
                         .limit(k)
                         .collect()

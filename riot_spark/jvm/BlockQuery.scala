@@ -1,0 +1,320 @@
+package riotspark
+
+/* JVM-side AND/BM25 block kernel — the zero-transfer twin of the
+ * pandas kernel built by riot_spark/blocks.py::_make_and_kernel for
+ * the non-proximity path (full scans and both WAND scoring passes).
+ *
+ * The Python kernel ships every candidate block's packed bytes
+ * JVM -> Python over Arrow and decodes them in numpy; for hot terms
+ * at the 1M-doc soak that decode dominates query wall time.  This
+ * kernel decodes, intersects and scores inside the executor JVM.
+ *
+ * Score parity contract: float32, bit-identical to
+ * riot_spark/oracle.py::bm25_score_f32_vec (which is itself
+ * step-for-step riot's scorer, core/indexer.go:523-547) — per query
+ * token in order, contrib = idf * tf * (k1+1) / (tf + k1*(1 - b +
+ * b*dl/avgdl)) evaluated in float32, accumulated only where tf > 0.
+ * idf values are computed driver-side with numpy's float64 log2 and
+ * passed in as float32, so no JVM log enters the fixed-point path.
+ * Differential-tested against the pandas kernel and the flat engine
+ * in tests/test_jvm_packer.py.
+ */
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+import scala.collection.mutable.ArrayBuffer
+
+object BlockQuery {
+
+  // ---------------------------------------------------------- decode
+
+  /** LEB128 varint decode (inverse of BlockPack.varintInto). */
+  def varintDecode(data: Array[Byte], from: Int): Array[Long] = {
+    val out = new ArrayBuffer[Long](math.max(8, (data.length - from) / 2))
+    var v = 0L
+    var shift = 0
+    var i = from
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      v |= (b & 0x7fL) << shift
+      if ((b & 0x80) == 0) { out += v; v = 0L; shift = 0 }
+      else shift += 7
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Patched-FOR decode (inverse of BlockPack.pforEncode). */
+  def pforDecode(data: Array[Byte], from: Int): Array[Long] = {
+    def u32(off: Int): Int =
+      (data(off) & 0xff) | ((data(off + 1) & 0xff) << 8) |
+        ((data(off + 2) & 0xff) << 16) | ((data(off + 3) & 0xff) << 24)
+    val n = u32(from)
+    if (n == 0) return Array.emptyLongArray
+    val width = data(from + 4) & 0xff
+    val nExc = u32(from + 5)
+    val off = from + 9
+    val vals = new Array[Long](n)
+    var bit = 0L
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var j = 0
+      while (j < width) {
+        val bj = bit + j
+        if (((data(off + (bj >> 3).toInt) >>> (bj & 7L).toInt) & 1) != 0)
+          v |= 1L << j
+        j += 1
+      }
+      vals(i) = v
+      bit += width
+      i += 1
+    }
+    if (nExc > 0) {
+      val nbytes = (n * width + 7) / 8
+      val patch = varintDecode(data, off + nbytes)
+      var pos = 0L
+      var k = 0
+      while (k < nExc) {
+        pos += patch(k)
+        vals(pos.toInt) |= patch(nExc + k) << width
+        k += 1
+      }
+    }
+    vals
+  }
+
+  /** Tag dispatch (inverse of BlockPack.encodeIntsBest). */
+  def decodeIntsBest(data: Array[Byte]): Array[Long] = {
+    if (data == null || data.length == 0) return Array.emptyLongArray
+    if (data(0) == BlockPack.TAG_PFOR) pforDecode(data, 1)
+    else varintDecode(data, 1)
+  }
+
+  /** Inverse of BlockPack.deltaEncode: cumulative sum of the gaps. */
+  def deltaDecode(data: Array[Byte]): Array[Long] = {
+    val d = decodeIntsBest(data)
+    var i = 1
+    while (i < d.length) { d(i) += d(i - 1); i += 1 }
+    d
+  }
+
+  def decodeFloats(data: Array[Byte]): Array[Float] = {
+    val d = decodeIntsBest(data)
+    val out = new Array[Float](d.length)
+    var i = 0
+    while (i < d.length) { out(i) = d(i).toFloat; i += 1 }
+    out
+  }
+
+  // ---------------------------------------------------------- kernel
+
+  private val outSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("score", FloatType, nullable = false)
+  ))
+
+  /** Merge two sorted distinct arrays (numpy union1d). */
+  private def unionSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new ArrayBuffer[Long](a.length + b.length)
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) { out += a(i); i += 1 }
+      else if (a(i) > b(j)) { out += b(j); j += 1 }
+      else { out += a(i); i += 1; j += 1 }
+    }
+    while (i < a.length) { out += a(i); i += 1 }
+    while (j < b.length) { out += b(j); j += 1 }
+    out.toArray
+  }
+
+  /** Intersection of two sorted distinct arrays. */
+  private def intersectSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new ArrayBuffer[Long](math.min(a.length, b.length))
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { out += a(i); i += 1; j += 1 }
+    }
+    out.toArray
+  }
+
+  /** For each c in cur (sorted), whether it is in ids (sorted) and at
+   *  what index — the two-pointer form of the kernel's _member. */
+  private def member(ids: Array[Long], cur: Array[Long]): (Array[Boolean], Array[Int]) = {
+    val found = new Array[Boolean](cur.length)
+    val idx = new Array[Int](cur.length)
+    var i = 0; var j = 0
+    while (i < cur.length && j < ids.length) {
+      if (ids(j) < cur(i)) j += 1
+      else {
+        if (ids(j) == cur(i)) { found(i) = true; idx(i) = j }
+        i += 1
+      }
+    }
+    (found, idx)
+  }
+
+  private final class TermBlock(
+      val docIdsRaw: Array[Byte], val tfsRaw: Array[Byte],
+      val lensRaw: Array[Byte]) {
+    lazy val ids: Array[Long] = deltaDecode(docIdsRaw)
+    lazy val tfs: Array[Float] = decodeFloats(tfsRaw)
+    lazy val lens: Array[Float] = decodeFloats(lensRaw)
+  }
+
+  /** AND + float32 BM25 over the candidate blocks of one query.
+   *
+   *  `df` holds block rows of the query's keywords only, selected as
+   *  exactly (term, block_id, is_label, doc_ids, tfs, token_lens) —
+   *  positional access, the Python wrapper owns the projection; rows
+   *  group by block_id (aligned doc-range groups — each group is an
+   *  independent intersection).
+   *  tokTerms/tokIdf/tokDf describe scoring tokens in query order;
+   *  kwTerms is the full keyword list (tokens ++ extra labels) in the
+   *  same order as the Python kernel's `keywords` (the doc-length
+   *  backfill order is semantics).  whitelist (sorted, may be null)
+   *  keeps only those doc ids after the intersection. */
+  def searchAnd(
+      df: DataFrame,
+      tokTerms: java.util.List[String],
+      tokIdf: java.util.List[java.lang.Number],
+      tokDf: java.util.List[java.lang.Number],
+      kwTerms: java.util.List[String],
+      k1d: Double, bd: Double, avgdld: Double,
+      locsMode: Boolean,
+      whitelist: java.util.List[java.lang.Number]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val toks: Array[String] = tokTerms.asScala.toArray
+    val idf: Array[Float] = tokIdf.asScala.map(_.doubleValue.toFloat).toArray
+    val dfList: Array[Long] = tokDf.asScala.map(_.longValue).toArray
+    val kws: Array[String] = kwTerms.asScala.toArray
+    val wl: Array[Long] =
+      if (whitelist == null) null
+      else whitelist.asScala.map(_.longValue).toArray
+    val k1 = k1d.toFloat
+    val b = bd.toFloat
+    val avg = avgdld.toFloat
+    val nKw = kws.toSet.size
+
+    df.groupByKey(r => r.getLong(1))(Encoders.scalaLong).flatMapGroups {
+      (_: Long, rows: Iterator[Row]) =>
+        // (term, is_label) -> packed columns; <= 2 rows per keyword
+        val content = new java.util.HashMap[String, TermBlock]()
+        val labels = new java.util.HashMap[String, TermBlock]()
+        val seen = new java.util.HashSet[String]()
+        for (r <- rows) {
+          val tb = new TermBlock(
+            r.getAs[Array[Byte]](3), r.getAs[Array[Byte]](4),
+            r.getAs[Array[Byte]](5))
+          val term = r.getString(0)
+          seen.add(term)
+          if (r.getBoolean(2)) labels.put(term, tb) else content.put(term, tb)
+        }
+        if (seen.size != nKw) Iterator.empty // AND prune
+        else {
+          val kwIds = new java.util.HashMap[String, Array[Long]]()
+          def idsOf(t: String): Array[Long] = {
+            var v = kwIds.get(t)
+            if (v == null) {
+              val c = content.get(t)
+              val l = labels.get(t)
+              v =
+                if (c != null && l != null) unionSorted(c.ids, l.ids)
+                else if (c != null) c.ids
+                else l.ids
+              kwIds.put(t, v)
+            }
+            v
+          }
+          // smallest candidate set first, stable for equal sizes
+          val ordered = kws.distinct.sortBy(t => idsOf(t).length)
+          var cur = idsOf(ordered(0))
+          var oi = 1
+          while (oi < ordered.length && cur.length > 0) {
+            cur = intersectSorted(cur, idsOf(ordered(oi)))
+            oi += 1
+          }
+          if (wl != null && cur.length > 0) cur = intersectSorted(cur, wl)
+          if (cur.length == 0) Iterator.empty
+          else {
+            val nC = cur.length
+            val dl = new Array[Float](nC)
+            val unscor = new Array[Boolean](nC)
+            val tfCols = new Array[Array[Float]](toks.length)
+            var ti = 0
+            while (ti < toks.length) {
+              val t = toks(ti)
+              val c = content.get(t)
+              val col = new Array[Float](nC)
+              if (c != null) {
+                val (found, idx) = member(c.ids, cur)
+                val tfs = c.tfs
+                val lens = c.lens
+                var j = 0
+                while (j < nC) {
+                  if (found(j)) { col(j) = tfs(idx(j)); dl(j) = lens(idx(j)) }
+                  if (locsMode && !found(j)) unscor(j) = true
+                  j += 1
+                }
+              } else if (locsMode) {
+                java.util.Arrays.fill(unscor, true)
+              }
+              tfCols(ti) = col
+              ti += 1
+            }
+            // docs matched purely via labels still need a token_len —
+            // backfill from any keyword row, labels first (same order
+            // as the Python kernel)
+            var needFill = false
+            var j = 0
+            while (j < nC && !needFill) { needFill = dl(j) == 0.0f; j += 1 }
+            if (needFill) {
+              var ki = 0
+              while (ki < kws.length) {
+                val t = kws(ki)
+                var side = 0
+                while (side < 2) {
+                  val tb = if (side == 0) labels.get(t) else content.get(t)
+                  if (tb != null) {
+                    val (found, idx) = member(tb.ids, cur)
+                    val lens = tb.lens
+                    var m = 0
+                    while (m < nC) {
+                      if (dl(m) == 0.0f && found(m)) dl(m) = lens(idx(m))
+                      m += 1
+                    }
+                  }
+                  side += 1
+                }
+                ki += 1
+              }
+            }
+            val out = new Array[Row](nC)
+            j = 0
+            while (j < nC) {
+              var score = 0.0f
+              if (avg != 0.0f && !(locsMode && unscor(j))) {
+                val d = dl(j)
+                var i = 0
+                while (i < toks.length) {
+                  val f = tfCols(i)(j)
+                  if (dfList(i) > 0 && f > 0.0f) {
+                    val contrib =
+                      idf(i) * f * (k1 + 1.0f) /
+                        (f + k1 * ((1.0f - b) + (b * d) / avg))
+                    score = score + contrib
+                  }
+                  i += 1
+                }
+              }
+              out(j) = Row(cur(j), score)
+              j += 1
+            }
+            out.iterator
+          }
+        }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -108,3 +108,106 @@ def test_jvm_packed_index_serves_queries(locs_index):
         if "score" not in shared:
             got, want = sorted(got), sorted(want)
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# JVM AND/BM25 query kernel (riot_spark/jvm/BlockQuery.scala)
+# ---------------------------------------------------------------------------
+
+
+def _pairs(df):
+    return [(r["doc_id"], np.float32(r["score"])) for r in df.collect()]
+
+
+def _pandas_only(eng: BlockSearchEngine) -> BlockSearchEngine:
+    """Twin engine with the JVM kernel disabled — forces the pandas
+    applyInPandas path so the two kernels can be compared directly."""
+    twin = BlockSearchEngine(eng.bi)
+    twin._make_jvm_and_apply = lambda *a, **k: None
+    return twin
+
+
+def test_jvm_and_kernel_bit_identical(freq_index, locs_index):
+    """search_and through the JVM kernel must be bit-identical (doc
+    ids AND float32 scores, in order) to the pandas kernel, across
+    index modes, term counts, and full-scan vs top-k."""
+    for idx in (freq_index, locs_index):
+        bi = blocked_from_index(idx, doc_block_bits=6, packer="jvm")
+        jeng = BlockSearchEngine(bi)
+        peng = _pandas_only(jeng)
+        for toks in (["data"], ["data", "query"], ["data", "query", "the"]):
+            for k in (0, 10):
+                got = _pairs(jeng.search_and(toks, k=k))
+                want = _pairs(peng.search_and(toks, k=k))
+                assert got == want, (toks, k)
+                assert got, (toks, k)  # non-vacuous
+
+
+def test_jvm_and_kernel_wand_paths(locs_index):
+    """Forced WAND (both modes) and the budgeted walk run their
+    scoring passes through the JVM kernel; results stay bit-identical
+    to the pandas engine on the same walk."""
+    bi = blocked_from_index(locs_index, doc_block_bits=2, packer="jvm")
+    jeng = BlockSearchEngine(bi)
+    peng = _pandas_only(jeng)
+    jeng.WAND_MIN_POSTINGS = 0
+    peng.WAND_MIN_POSTINGS = 0
+    for mode in ("threshold", "walk"):
+        got = _pairs(jeng.search_and(["data"], k=10, wand_mode=mode))
+        want = _pairs(peng.search_and(["data"], k=10, wand_mode=mode))
+        assert got == want, mode
+        assert len(got) == 10
+    gb, gt = jeng.search_and_budgeted(["data"], k=10, budget_s=300.0)
+    pb, pt = peng.search_and_budgeted(["data"], k=10, budget_s=300.0)
+    assert not gt and not pt
+    assert _pairs(gb) == _pairs(pb)
+
+
+def test_jvm_and_kernel_labels_unscorable(spark):
+    """Label postings exercise the union / doc-length-backfill /
+    unscorable-guard branches of the Scala kernel; pin them to the
+    pandas kernel and the flat engine."""
+    from pyspark.sql import functions as F
+
+    docs = load_documents(spark, SF_SMOKE).withColumn(
+        "labels", F.array(F.col("source"))
+    )
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    idx = build_index(docs, cfg, labels_col="labels")
+    bi = blocked_from_index(idx, doc_block_bits=6, packer="jvm")
+    jeng = BlockSearchEngine(bi)
+    peng = _pandas_only(jeng)
+    for k in (0, 10):
+        got = _pairs(jeng.search_and(["data"], labels=["src3"], k=k))
+        want = _pairs(peng.search_and(["data"], labels=["src3"], k=k))
+        assert got == want, k
+        assert got, k
+
+
+def test_jvm_and_apply_whitelist(locs_index):
+    """The JVM apply's whitelist argument (post-intersection doc-id
+    filter, Q3) matches the pandas kernel built with the same
+    whitelist."""
+    import pyspark.sql.functions as F
+
+    bi = blocked_from_index(locs_index, doc_block_bits=6, packer="jvm")
+    eng = BlockSearchEngine(bi)
+    toks = ["data", "query"]
+    dfs = bi.lookup_terms(toks)
+    base = eng.search_and(toks).collect()
+    wl = np.sort(np.array([r["doc_id"] for r in base[::3]], dtype=np.int64))
+    matched = bi.blocks.where(F.col("term").isin(toks))
+    apply_jvm = eng._make_jvm_and_apply(toks, toks, dfs, whitelist=wl)
+    kernel = eng._make_and_kernel(toks, toks, dfs, False, whitelist=wl)
+    got = sorted(
+        (r["doc_id"], np.float32(r["score"]))
+        for r in apply_jvm(matched).collect()
+    )
+    want = sorted(
+        (r["doc_id"], np.float32(r["score"]))
+        for r in matched.groupBy("block_id")
+        .applyInPandas(kernel, "doc_id LONG, score FLOAT")
+        .collect()
+    )
+    assert got == want
+    assert len(got) == len(wl)

@@ -12,6 +12,6 @@ TMP="$(mktemp -d)"
 trap 'rm -rf "$TMP"' EXIT
 "${JAVA_HOME:-/usr}/bin/java" -cp "$CP" scala.tools.nsc.Main \
   -classpath "$CP" -opt:inline:riotspark.** -d "$TMP" \
-  "$OUT/BlockPack.scala"
+  "$OUT"/*.scala
 "${JAVA_HOME:-/usr}/bin/jar" cf "$OUT/riotspark.jar" -C "$TMP" .
 echo "built $OUT/riotspark.jar"
