@@ -570,6 +570,97 @@ class BlockSearchEngine:
 
         return apply_and
 
+    def _jvm_and_batch(
+        self, matched: DataFrame, qmeta: list[tuple], dfs: dict[str, int]
+    ) -> DataFrame | None:
+        """JVM twin of the batch AND dispatcher
+        (BlockQuery.scala::searchAndBatch): every query of the batch is
+        served from ONE executor-side decode of each block, so the
+        packed bytes never cross into Python at all.  Returns None when
+        riotspark.jar is not on the session classpath (the pandas
+        dispatcher takes over).  idf fixed driver-side exactly as in
+        _make_jvm_and_apply; bit-identical to the pandas batch path
+        (tests/test_jvm_packer.py::test_jvm_batch_bit_identical)."""
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        if not jvm_pack_available(spark):
+            return None
+        p = bi.params
+        qids, toks_b, idf_b, df_b, kws_b, wl_b = [], [], [], [], [], []
+        for qid, tokens, keywords, wl in qmeta:
+            qids.append(qid)
+            toks_b.append(list(tokens))
+            idf_b.append(
+                [
+                    float(np.float32(np.log2(bi.n_docs / dfs[t] + 1.0)))
+                    for t in tokens
+                ]
+            )
+            df_b.append([int(dfs[t]) for t in tokens])
+            kws_b.append(list(keywords))
+            # np.unique output is already sorted — the JVM kernel's
+            # whitelist intersection requires sorted distinct ids
+            wl_b.append(None if wl is None else [int(x) for x in wl])
+        cols = ["term", "block_id", "is_label", "doc_ids", "tfs", "token_lens"]
+        jdf = spark._jvm.riotspark.BlockQuery.searchAndBatch(
+            matched.select(cols)._jdf,
+            qids, toks_b, idf_b, df_b, kws_b,
+            float(p.k1), float(p.b), float(bi.avgdl),
+            bool(bi.has_positions), wl_b,
+        )
+        return DataFrame(jdf, spark)
+
+    def _pandas_and_batch(
+        self,
+        matched: DataFrame,
+        qmeta: list[tuple],
+        qsets: dict[str, set],
+        dfs: dict[str, int],
+        double_scores: bool,
+    ) -> DataFrame:
+        """Arrow/pandas batch AND dispatcher — the fallback (and the
+        float64-scores path) when the JVM kernel is unavailable.
+
+        ONE group per block (not per (query, block)): every query is
+        served from the same decoded arrays via the shared per-block
+        cache, so a block's packed bytes decode once per batch —
+        marginal per-query cost is its intersection, not a re-decode
+        (this is what keeps batch wall flat in query count)."""
+        score_type = "DOUBLE" if double_scores else "FLOAT"
+        out_schema = f"query_id STRING, doc_id LONG, score {score_type}"
+        score_np = np.float64 if double_scores else np.float32
+        kernels = {
+            qid: self._make_and_kernel(
+                tokens, keywords, dfs, False,
+                whitelist=wl, f64=double_scores,
+            )
+            for qid, tokens, keywords, wl in qmeta
+        }
+
+        def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
+            shared: dict = {}
+            in_block = set(pdf["term"])
+            outs = []
+            for qid, kern in kernels.items():
+                qs = qsets[qid]
+                if not qs <= in_block:
+                    continue  # AND prune before any decode
+                out = kern.impl(pdf[pdf["term"].isin(qs)], shared)
+                if len(out):
+                    out.insert(0, "query_id", qid)
+                    outs.append(out)
+            if not outs:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype=object),
+                        "doc_id": np.array([], np.int64),
+                        "score": np.array([], score_np),
+                    }
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        return matched.groupBy("block_id").applyInPandas(dispatch, out_schema)
+
     @staticmethod
     def _decode_ids(row) -> np.ndarray:
         return delta_decode(bytes(row["doc_ids"]))
@@ -1080,7 +1171,7 @@ class BlockSearchEngine:
             for req in and_q.values():
                 all_kw |= set(req.all_tokens()) | set(req.labels)
             dfs = bi.lookup_terms(sorted(all_kw))
-            kernels: dict = {}
+            qmeta: list[tuple] = []  # (qid, tokens, keywords, wl)
             qsets: dict[str, set] = {}
             meta_rows: list[tuple] = []
             for qid, req in and_q.items():
@@ -1093,52 +1184,24 @@ class BlockSearchEngine:
                     wl = np.unique(
                         np.asarray([int(d) for d in req.doc_ids], np.int64)
                     )
-                kernels[qid] = self._make_and_kernel(
-                    tokens, keywords, dfs, False,
-                    whitelist=wl, f64=double_scores,
-                )
+                qmeta.append((qid, tokens, keywords, wl))
                 qsets[qid] = set(keywords)
                 meta_rows.append(
                     (qid, int(req.max_outputs), int(req.offset),
                      bool(req.reverse_order))
                 )
-            if kernels:
-                out_schema = f"query_id STRING, doc_id LONG, score {score_type}"
-                score_np = np.float64 if double_scores else np.float32
-
-                # ONE group per block (not per (query, block)): every
-                # query is served from the same decoded arrays via the
-                # shared per-block cache, so a block's packed bytes
-                # decode once per batch — marginal per-query cost is
-                # its intersection, not a re-decode (this is what
-                # keeps batch wall flat in query count)
-                def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
-                    shared: dict = {}
-                    in_block = set(pdf["term"])
-                    outs = []
-                    for qid, kern in kernels.items():
-                        qs = qsets[qid]
-                        if not qs <= in_block:
-                            continue  # AND prune before any decode
-                        out = kern.impl(pdf[pdf["term"].isin(qs)], shared)
-                        if len(out):
-                            out.insert(0, "query_id", qid)
-                            outs.append(out)
-                    if not outs:
-                        return pd.DataFrame(
-                            {
-                                "query_id": pd.Series([], dtype=object),
-                                "doc_id": np.array([], np.int64),
-                                "score": np.array([], score_np),
-                            }
-                        )
-                    return pd.concat(outs, ignore_index=True)
-
+            if qmeta:
                 all_q_terms = sorted(set().union(*qsets.values()))
                 matched = bi.blocks.where(F.col("term").isin(all_q_terms))
-                scored = matched.groupBy("block_id").applyInPandas(
-                    dispatch, out_schema
+                scored = (
+                    None
+                    if double_scores  # JVM kernel is float32-only
+                    else self._jvm_and_batch(matched, qmeta, dfs)
                 )
+                if scored is None:
+                    scored = self._pandas_and_batch(
+                        matched, qmeta, qsets, dfs, double_scores
+                    )
                 meta = spark.createDataFrame(
                     meta_rows, "query_id STRING, k INT, qoffset INT, rev BOOLEAN"
                 )

@@ -164,6 +164,148 @@ object BlockQuery {
     lazy val lens: Array[Float] = decodeFloats(lensRaw)
   }
 
+  /** One block group's decoded state: (term, is_label) -> TermBlock
+   *  plus the per-term candidate-id cache.  In the batch kernel ONE
+   *  BlockMaps serves every query of the batch, so a term's packed
+   *  bytes decode once per block per batch — the JVM twin of the
+   *  Python dispatcher's `shared` dict (blocks.py search_batch). */
+  private final class BlockMaps {
+    val content = new java.util.HashMap[String, TermBlock]()
+    val labels = new java.util.HashMap[String, TermBlock]()
+    val seen = new java.util.HashSet[String]()
+    private val kwIds = new java.util.HashMap[String, Array[Long]]()
+
+    def idsOf(t: String): Array[Long] = {
+      var v = kwIds.get(t)
+      if (v == null) {
+        val c = content.get(t)
+        val l = labels.get(t)
+        v =
+          if (c != null && l != null) unionSorted(c.ids, l.ids)
+          else if (c != null) c.ids
+          else l.ids
+        kwIds.put(t, v)
+      }
+      v
+    }
+  }
+
+  /** Load one block group's rows, projected as exactly
+   *  (term, block_id, is_label, doc_ids, tfs, token_lens). */
+  private def readBlock(rows: Iterator[Row]): BlockMaps = {
+    val bm = new BlockMaps
+    for (r <- rows) {
+      val tb = new TermBlock(
+        r.getAs[Array[Byte]](3), r.getAs[Array[Byte]](4),
+        r.getAs[Array[Byte]](5))
+      val term = r.getString(0)
+      bm.seen.add(term)
+      if (r.getBoolean(2)) bm.labels.put(term, tb) else bm.content.put(term, tb)
+    }
+    bm
+  }
+
+  /** Per-query AND + float32 BM25 body over one decoded block group —
+   *  shared verbatim by searchAnd and searchAndBatch so the two stay
+   *  bit-identical by construction.  Returns (doc ids, scores), both
+   *  empty when the intersection (or whitelist) prunes to nothing.
+   *  The caller has already verified every distinct keyword is
+   *  present in the group. */
+  private def andScore(
+      bm: BlockMaps,
+      toks: Array[String], idf: Array[Float], dfList: Array[Long],
+      kws: Array[String], wl: Array[Long],
+      k1: Float, b: Float, avg: Float,
+      locsMode: Boolean): (Array[Long], Array[Float]) = {
+    val empty = (Array.emptyLongArray, Array.emptyFloatArray)
+    // smallest candidate set first, stable for equal sizes
+    val ordered = kws.distinct.sortBy(t => bm.idsOf(t).length)
+    var cur = bm.idsOf(ordered(0))
+    var oi = 1
+    while (oi < ordered.length && cur.length > 0) {
+      cur = intersectSorted(cur, bm.idsOf(ordered(oi)))
+      oi += 1
+    }
+    if (wl != null && cur.length > 0) cur = intersectSorted(cur, wl)
+    if (cur.length == 0) empty
+    else {
+      val nC = cur.length
+      val dl = new Array[Float](nC)
+      val unscor = new Array[Boolean](nC)
+      val tfCols = new Array[Array[Float]](toks.length)
+      var ti = 0
+      while (ti < toks.length) {
+        val t = toks(ti)
+        val c = bm.content.get(t)
+        val col = new Array[Float](nC)
+        if (c != null) {
+          val (found, idx) = member(c.ids, cur)
+          val tfs = c.tfs
+          val lens = c.lens
+          var j = 0
+          while (j < nC) {
+            if (found(j)) { col(j) = tfs(idx(j)); dl(j) = lens(idx(j)) }
+            if (locsMode && !found(j)) unscor(j) = true
+            j += 1
+          }
+        } else if (locsMode) {
+          java.util.Arrays.fill(unscor, true)
+        }
+        tfCols(ti) = col
+        ti += 1
+      }
+      // docs matched purely via labels still need a token_len —
+      // backfill from any keyword row, labels first (same order
+      // as the Python kernel)
+      var needFill = false
+      var j = 0
+      while (j < nC && !needFill) { needFill = dl(j) == 0.0f; j += 1 }
+      if (needFill) {
+        var ki = 0
+        while (ki < kws.length) {
+          val t = kws(ki)
+          var side = 0
+          while (side < 2) {
+            val tb = if (side == 0) bm.labels.get(t) else bm.content.get(t)
+            if (tb != null) {
+              val (found, idx) = member(tb.ids, cur)
+              val lens = tb.lens
+              var m = 0
+              while (m < nC) {
+                if (dl(m) == 0.0f && found(m)) dl(m) = lens(idx(m))
+                m += 1
+              }
+            }
+            side += 1
+          }
+          ki += 1
+        }
+      }
+      val scores = new Array[Float](nC)
+      j = 0
+      while (j < nC) {
+        var score = 0.0f
+        if (avg != 0.0f && !(locsMode && unscor(j))) {
+          val d = dl(j)
+          var i = 0
+          while (i < toks.length) {
+            val f = tfCols(i)(j)
+            if (dfList(i) > 0 && f > 0.0f) {
+              val contrib =
+                idf(i) * f * (k1 + 1.0f) /
+                  (f + k1 * ((1.0f - b) + (b * d) / avg))
+              score = score + contrib
+            }
+            i += 1
+          }
+        }
+        scores(j) = score
+        j += 1
+      }
+      (cur, scores)
+    }
+  }
+
   /** AND + float32 BM25 over the candidate blocks of one query.
    *
    *  `df` holds block rows of the query's keywords only, selected as
@@ -200,121 +342,88 @@ object BlockQuery {
 
     df.groupByKey(r => r.getLong(1))(Encoders.scalaLong).flatMapGroups {
       (_: Long, rows: Iterator[Row]) =>
-        // (term, is_label) -> packed columns; <= 2 rows per keyword
-        val content = new java.util.HashMap[String, TermBlock]()
-        val labels = new java.util.HashMap[String, TermBlock]()
-        val seen = new java.util.HashSet[String]()
-        for (r <- rows) {
-          val tb = new TermBlock(
-            r.getAs[Array[Byte]](3), r.getAs[Array[Byte]](4),
-            r.getAs[Array[Byte]](5))
-          val term = r.getString(0)
-          seen.add(term)
-          if (r.getBoolean(2)) labels.put(term, tb) else content.put(term, tb)
-        }
-        if (seen.size != nKw) Iterator.empty // AND prune
+        val bm = readBlock(rows)
+        if (bm.seen.size != nKw) Iterator.empty // AND prune
         else {
-          val kwIds = new java.util.HashMap[String, Array[Long]]()
-          def idsOf(t: String): Array[Long] = {
-            var v = kwIds.get(t)
-            if (v == null) {
-              val c = content.get(t)
-              val l = labels.get(t)
-              v =
-                if (c != null && l != null) unionSorted(c.ids, l.ids)
-                else if (c != null) c.ids
-                else l.ids
-              kwIds.put(t, v)
-            }
-            v
-          }
-          // smallest candidate set first, stable for equal sizes
-          val ordered = kws.distinct.sortBy(t => idsOf(t).length)
-          var cur = idsOf(ordered(0))
-          var oi = 1
-          while (oi < ordered.length && cur.length > 0) {
-            cur = intersectSorted(cur, idsOf(ordered(oi)))
-            oi += 1
-          }
-          if (wl != null && cur.length > 0) cur = intersectSorted(cur, wl)
-          if (cur.length == 0) Iterator.empty
-          else {
-            val nC = cur.length
-            val dl = new Array[Float](nC)
-            val unscor = new Array[Boolean](nC)
-            val tfCols = new Array[Array[Float]](toks.length)
-            var ti = 0
-            while (ti < toks.length) {
-              val t = toks(ti)
-              val c = content.get(t)
-              val col = new Array[Float](nC)
-              if (c != null) {
-                val (found, idx) = member(c.ids, cur)
-                val tfs = c.tfs
-                val lens = c.lens
-                var j = 0
-                while (j < nC) {
-                  if (found(j)) { col(j) = tfs(idx(j)); dl(j) = lens(idx(j)) }
-                  if (locsMode && !found(j)) unscor(j) = true
-                  j += 1
-                }
-              } else if (locsMode) {
-                java.util.Arrays.fill(unscor, true)
-              }
-              tfCols(ti) = col
-              ti += 1
-            }
-            // docs matched purely via labels still need a token_len —
-            // backfill from any keyword row, labels first (same order
-            // as the Python kernel)
-            var needFill = false
-            var j = 0
-            while (j < nC && !needFill) { needFill = dl(j) == 0.0f; j += 1 }
-            if (needFill) {
-              var ki = 0
-              while (ki < kws.length) {
-                val t = kws(ki)
-                var side = 0
-                while (side < 2) {
-                  val tb = if (side == 0) labels.get(t) else content.get(t)
-                  if (tb != null) {
-                    val (found, idx) = member(tb.ids, cur)
-                    val lens = tb.lens
-                    var m = 0
-                    while (m < nC) {
-                      if (dl(m) == 0.0f && found(m)) dl(m) = lens(idx(m))
-                      m += 1
-                    }
-                  }
-                  side += 1
-                }
-                ki += 1
-              }
-            }
-            val out = new Array[Row](nC)
-            j = 0
-            while (j < nC) {
-              var score = 0.0f
-              if (avg != 0.0f && !(locsMode && unscor(j))) {
-                val d = dl(j)
-                var i = 0
-                while (i < toks.length) {
-                  val f = tfCols(i)(j)
-                  if (dfList(i) > 0 && f > 0.0f) {
-                    val contrib =
-                      idf(i) * f * (k1 + 1.0f) /
-                        (f + k1 * ((1.0f - b) + (b * d) / avg))
-                    score = score + contrib
-                  }
-                  i += 1
-                }
-              }
-              out(j) = Row(cur(j), score)
-              j += 1
-            }
-            out.iterator
-          }
+          val (ids, scores) =
+            andScore(bm, toks, idf, dfList, kws, wl, k1, b, avg, locsMode)
+          Iterator.tabulate(ids.length)(j => Row(ids(j), scores(j)))
         }
     }(Encoders.row(outSchema))
+  }
+
+  // ---------------------------------------------------------- batch
+
+  private val batchSchema = StructType(Seq(
+    StructField("query_id", StringType, nullable = false),
+    StructField("doc_id", LongType, nullable = false),
+    StructField("score", FloatType, nullable = false)
+  ))
+
+  /** Batched AND/BM25: every query of the batch served from ONE
+   *  decode of each block (the JVM twin of the Python dispatcher in
+   *  blocks.py::BlockSearchEngine.search_batch, whose per-block
+   *  `shared` dict plays the same role).  Parallel per-query lists:
+   *  qids / tokTermsB / tokIdfB / tokDfB / kwTermsB / whitelists
+   *  (a whitelist entry may be null = no whitelist).  `df` holds the
+   *  block rows of the UNION of all queries' keywords, projected as
+   *  (term, block_id, is_label, doc_ids, tfs, token_lens); a query
+   *  missing any distinct keyword in a block group is AND-pruned
+   *  there without decoding anything. */
+  def searchAndBatch(
+      df: DataFrame,
+      qids: java.util.List[String],
+      tokTermsB: java.util.List[java.util.List[String]],
+      tokIdfB: java.util.List[java.util.List[java.lang.Number]],
+      tokDfB: java.util.List[java.util.List[java.lang.Number]],
+      kwTermsB: java.util.List[java.util.List[String]],
+      k1d: Double, bd: Double, avgdld: Double,
+      locsMode: Boolean,
+      whitelists: java.util.List[java.util.List[java.lang.Number]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val nQ = qids.size
+    val qid = qids.asScala.toArray
+    val toksB = new Array[Array[String]](nQ)
+    val idfB = new Array[Array[Float]](nQ)
+    val dfB = new Array[Array[Long]](nQ)
+    val kwsB = new Array[Array[String]](nQ)
+    val kwsDistinctB = new Array[Array[String]](nQ)
+    val wlB = new Array[Array[Long]](nQ)
+    var q = 0
+    while (q < nQ) {
+      toksB(q) = tokTermsB.get(q).asScala.toArray
+      idfB(q) = tokIdfB.get(q).asScala.map(_.doubleValue.toFloat).toArray
+      dfB(q) = tokDfB.get(q).asScala.map(_.longValue).toArray
+      kwsB(q) = kwTermsB.get(q).asScala.toArray
+      kwsDistinctB(q) = kwsB(q).distinct
+      val w = whitelists.get(q)
+      wlB(q) = if (w == null) null else w.asScala.map(_.longValue).toArray
+      q += 1
+    }
+    val k1 = k1d.toFloat
+    val b = bd.toFloat
+    val avg = avgdld.toFloat
+
+    df.groupByKey(r => r.getLong(1))(Encoders.scalaLong).flatMapGroups {
+      (_: Long, rows: Iterator[Row]) =>
+        val bm = readBlock(rows)
+        val outs = new ArrayBuffer[Row]()
+        var qi = 0
+        while (qi < nQ) {
+          // AND prune before any decode: all keywords present here?
+          if (kwsDistinctB(qi).forall(bm.seen.contains)) {
+            val (ids, scores) = andScore(
+              bm, toksB(qi), idfB(qi), dfB(qi), kwsB(qi), wlB(qi),
+              k1, b, avg, locsMode)
+            var j = 0
+            while (j < ids.length) {
+              outs += Row(qid(qi), ids(j), scores(j))
+              j += 1
+            }
+          }
+          qi += 1
+        }
+        outs.iterator
+    }(Encoders.row(batchSchema))
   }
 }

@@ -184,6 +184,64 @@ def test_jvm_and_kernel_labels_unscorable(spark):
         assert got, k
 
 
+def test_jvm_batch_bit_identical(locs_index):
+    """search_batch through the JVM batch kernel (searchAndBatch) must
+    be bit-identical (query_id, rank, doc_id, float32 score) to the
+    pandas batch dispatcher across the AND-family shapes: plain top-k,
+    offset, ReverseOrder, DocIds whitelist, unlimited, missing term."""
+    bi = blocked_from_index(locs_index, doc_block_bits=6, packer="jvm")
+    jeng = BlockSearchEngine(bi)
+    peng = BlockSearchEngine(bi)
+    peng._jvm_and_batch = lambda *a, **k: None  # force pandas dispatch
+    reqs = {
+        "and1": SearchRequest(text="data query", max_outputs=10),
+        "and2": SearchRequest(text="batch", max_outputs=5, offset=3),
+        "rev": SearchRequest(text="data query", max_outputs=10,
+                             reverse_order=True),
+        "wl": SearchRequest(text="data", doc_ids=list(range(0, 200, 3)),
+                            max_outputs=10),
+        "all": SearchRequest(text="group order"),
+        "missing": SearchRequest(text="data zzzqx", max_outputs=10),
+    }
+    key = lambda r: (  # noqa: E731
+        r["query_id"], r["rank"], r["doc_id"], np.float32(r["score"])
+    )
+    got = sorted(key(r) for r in jeng.search_batch(reqs).collect())
+    want = sorted(key(r) for r in peng.search_batch(reqs).collect())
+    assert got == want
+    assert {q for q, *_ in got} == {"and1", "and2", "rev", "wl", "all"}
+
+
+def test_jvm_batch_labels(spark):
+    """Label keywords in a batch exercise the union / doc-length
+    backfill / unscorable branches of searchAndBatch; pin to the
+    pandas dispatcher on a labelled LocsIndex store."""
+    from pyspark.sql import functions as F
+
+    docs = load_documents(spark, SF_SMOKE).withColumn(
+        "labels", F.array(F.col("source"))
+    )
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    idx = build_index(docs, cfg, labels_col="labels")
+    bi = blocked_from_index(idx, doc_block_bits=6, packer="jvm")
+    jeng = BlockSearchEngine(bi)
+    peng = BlockSearchEngine(bi)
+    peng._jvm_and_batch = lambda *a, **k: None
+    reqs = {
+        "lab": SearchRequest(tokens=["data"], labels=["src3"],
+                             scorer="float32", max_outputs=10),
+        "lab_all": SearchRequest(tokens=["data"], labels=["src1"],
+                                 scorer="float32"),
+    }
+    key = lambda r: (  # noqa: E731
+        r["query_id"], r["rank"], r["doc_id"], np.float32(r["score"])
+    )
+    got = sorted(key(r) for r in jeng.search_batch(reqs).collect())
+    want = sorted(key(r) for r in peng.search_batch(reqs).collect())
+    assert got == want
+    assert {q for q, *_ in got} == {"lab", "lab_all"}
+
+
 def test_jvm_and_apply_whitelist(locs_index):
     """The JVM apply's whitelist argument (post-intersection doc-id
     filter, Q3) matches the pandas kernel built with the same
