@@ -610,6 +610,65 @@ class BlockSearchEngine:
         )
         return DataFrame(jdf, spark)
 
+    def _jvm_prox_batch(
+        self, matched: DataFrame, qmeta: list[tuple]
+    ) -> DataFrame | None:
+        """JVM twin of the batch proximity-criteria dispatcher
+        (BlockQuery.scala::searchProxBatch): AND-intersection plus the
+        token-proximity DP run inside the executor, every query served
+        from ONE decode of each block — the packed positions never
+        cross into Python.  Proximity is an exact integer, so this
+        path serves the float64-oracle mode too.  Returns None when
+        riotspark.jar is not on the session classpath.  Bit-identical
+        to the pandas dispatcher (tests/test_jvm_packer.py)."""
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        if not jvm_pack_available(spark):
+            return None
+        qids, toks_b, kws_b, wl_b = [], [], [], []
+        for qid, tokens, keywords, wl in qmeta:
+            qids.append(qid)
+            toks_b.append(list(tokens))
+            kws_b.append(list(keywords))
+            wl_b.append(None if wl is None else [int(x) for x in wl])
+        cols = [
+            "term", "block_id", "is_label", "doc_ids", "tfs",
+            "token_lens", "positions",
+        ]
+        jdf = spark._jvm.riotspark.BlockQuery.searchProxBatch(
+            matched.select(cols)._jdf, qids, toks_b, kws_b, wl_b
+        )
+        return DataFrame(jdf, spark)
+
+    def _jvm_logic_batch(
+        self, matched: DataFrame, lmeta: list[tuple]
+    ) -> DataFrame | None:
+        """JVM twin of the batch logic dispatcher
+        (BlockQuery.scala::searchLogicBatch): must/should/notIn set
+        algebra per doc-range group inside the executor — the logic
+        path decodes doc-id bytes only, and those never cross into
+        Python.  `lmeta` rows are (qid, must, should, not_in, wl) with
+        the term lists already filtered to globally-present terms
+        (exactly what _make_logic_kernel receives).  Candidates are
+        exact doc ids, so this serves the float64-oracle mode too.
+        Returns None when riotspark.jar is absent."""
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        if not jvm_pack_available(spark):
+            return None
+        qids, must_b, should_b, notin_b, wl_b = [], [], [], [], []
+        for qid, must, should, not_in, wl in lmeta:
+            qids.append(qid)
+            must_b.append(list(must))
+            should_b.append(list(should))
+            notin_b.append(list(not_in))
+            wl_b.append(None if wl is None else [int(x) for x in wl])
+        cols = ["term", "block_id", "is_label", "doc_ids"]
+        jdf = spark._jvm.riotspark.BlockQuery.searchLogicBatch(
+            matched.select(cols)._jdf, qids, must_b, should_b, notin_b, wl_b
+        )
+        return DataFrame(jdf, spark)
+
     def _pandas_and_batch(
         self,
         matched: DataFrame,
@@ -996,8 +1055,13 @@ class BlockSearchEngine:
             sorted(set(must)), sorted(set(should_p)), sorted(set(notin_p))
         )
         all_terms = sorted(set(must_set) | set(should_set) | set(notin_set))
-        kernel = self._make_logic_kernel(must_set, should_set, notin_set)
         matched = bi.blocks.where(F.col("term").isin(all_terms))
+        jvm = self._jvm_logic_batch(
+            matched, [("q", must_set, should_set, notin_set, None)]
+        )
+        if jvm is not None:
+            return jvm.select("doc_id")
+        kernel = self._make_logic_kernel(must_set, should_set, notin_set)
         return matched.groupBy("block_id").applyInPandas(kernel, out_schema)
 
     @staticmethod
@@ -1260,7 +1324,7 @@ class BlockSearchEngine:
         for req in requests.values():
             all_kw |= set(req.all_tokens()) | set(req.labels)
         dfs = bi.lookup_terms(sorted(all_kw))
-        kernels: dict = {}
+        qmeta: list[tuple] = []  # (qid, tokens, keywords, wl)
         qsets: dict[str, set] = {}
         meta_rows: list[tuple] = []
         for qid, req in requests.items():
@@ -1273,47 +1337,55 @@ class BlockSearchEngine:
                 wl = np.unique(
                     np.asarray([int(d) for d in req.doc_ids], np.int64)
                 )
-            kernels[qid] = self._make_and_kernel(
-                tokens, keywords, dfs, True, whitelist=wl
-            )
+            qmeta.append((qid, tokens, keywords, wl))
             qsets[qid] = set(keywords)
             meta_rows.append(
                 (qid, int(req.max_outputs), int(req.offset),
                  bool(req.reverse_order))
             )
-        if not kernels:
+        if not qmeta:
             return None
         spark = bi.blocks.sparkSession
-
-        def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
-            shared: dict = {}
-            in_block = set(pdf["term"])
-            outs = []
-            for qid, kern in kernels.items():
-                qs = qsets[qid]
-                if not qs <= in_block:
-                    continue
-                out = kern.impl(pdf[pdf["term"].isin(qs)], shared)
-                if len(out):
-                    out = out[["doc_id", "proximity"]].copy()
-                    out.insert(0, "query_id", qid)
-                    outs.append(out)
-            if not outs:
-                return pd.DataFrame(
-                    {
-                        "query_id": pd.Series([], dtype=object),
-                        "doc_id": np.array([], np.int64),
-                        "proximity": np.array([], np.int32),
-                    }
-                )
-            return pd.concat(outs, ignore_index=True)
-
         matched = bi.blocks.where(
             F.col("term").isin(sorted(set().union(*qsets.values())))
         )
-        scored = matched.groupBy("block_id").applyInPandas(
-            dispatch, "query_id STRING, doc_id LONG, proximity INT"
-        )
+        # proximity is an exact int, so the JVM kernel serves the
+        # float64-oracle mode too (unlike the AND family's f32 scores)
+        scored = self._jvm_prox_batch(matched, qmeta)
+        if scored is None:
+            kernels = {
+                qid: self._make_and_kernel(
+                    tokens, keywords, dfs, True, whitelist=wl
+                )
+                for qid, tokens, keywords, wl in qmeta
+            }
+
+            def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
+                shared: dict = {}
+                in_block = set(pdf["term"])
+                outs = []
+                for qid, kern in kernels.items():
+                    qs = qsets[qid]
+                    if not qs <= in_block:
+                        continue
+                    out = kern.impl(pdf[pdf["term"].isin(qs)], shared)
+                    if len(out):
+                        out = out[["doc_id", "proximity"]].copy()
+                        out.insert(0, "query_id", qid)
+                        outs.append(out)
+                if not outs:
+                    return pd.DataFrame(
+                        {
+                            "query_id": pd.Series([], dtype=object),
+                            "doc_id": np.array([], np.int64),
+                            "proximity": np.array([], np.int32),
+                        }
+                    )
+                return pd.concat(outs, ignore_index=True)
+
+            scored = matched.groupBy("block_id").applyInPandas(
+                dispatch, "query_id STRING, doc_id LONG, proximity INT"
+            )
         meta = spark.createDataFrame(
             meta_rows, "query_id STRING, k INT, qoffset INT, rev BOOLEAN"
         )
@@ -1348,7 +1420,7 @@ class BlockSearchEngine:
         for req in requests.values():
             all_terms |= set(req.must) | set(req.should) | set(req.not_in)
         present = bi.lookup_terms(sorted(all_terms))
-        kernels: dict = {}
+        lmeta: list[tuple] = []  # (qid, must, should_p, notin_p, wl)
         qsets: dict[str, set] = {}
         meta_rows: list[tuple] = []
         for qid, req in requests.items():
@@ -1366,43 +1438,49 @@ class BlockSearchEngine:
                 wl = np.unique(
                     np.asarray([int(d) for d in req.doc_ids], np.int64)
                 )
-            kernels[qid] = self._make_logic_kernel(
-                must, should_p, notin_p, whitelist=wl
-            )
+            lmeta.append((qid, must, should_p, notin_p, wl))
             qsets[qid] = set(must) | set(should_p) | set(notin_p)
             meta_rows.append((qid, int(req.max_outputs), int(req.offset)))
-        if not kernels:
+        if not lmeta:
             return None
-
-        # one group per block; all queries share the per-block decode
-        # cache (see the AND dispatch for the rationale)
-        def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
-            shared: dict = {}
-            in_block = set(pdf["term"])
-            outs = []
-            for qid, kern in kernels.items():
-                qs = qsets[qid]
-                if not qs & in_block:
-                    continue  # no referenced term in this doc range
-                out = kern.impl(pdf[pdf["term"].isin(qs)], shared)
-                if len(out):
-                    out.insert(0, "query_id", qid)
-                    outs.append(out)
-            if not outs:
-                return pd.DataFrame(
-                    {
-                        "query_id": pd.Series([], dtype=object),
-                        "doc_id": np.array([], np.int64),
-                    }
-                )
-            return pd.concat(outs, ignore_index=True)
-
         matched = bi.blocks.where(
             F.col("term").isin(sorted(set().union(*qsets.values())))
         )
-        cand = matched.groupBy("block_id").applyInPandas(
-            dispatch, "query_id STRING, doc_id LONG"
-        )
+        cand = self._jvm_logic_batch(matched, lmeta)
+        if cand is None:
+            # one group per block; all queries share the per-block
+            # decode cache (see the AND dispatch for the rationale)
+            kernels = {
+                qid: self._make_logic_kernel(
+                    must, should_p, notin_p, whitelist=wl
+                )
+                for qid, must, should_p, notin_p, wl in lmeta
+            }
+
+            def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
+                shared: dict = {}
+                in_block = set(pdf["term"])
+                outs = []
+                for qid, kern in kernels.items():
+                    qs = qsets[qid]
+                    if not qs & in_block:
+                        continue  # no referenced term in this doc range
+                    out = kern.impl(pdf[pdf["term"].isin(qs)], shared)
+                    if len(out):
+                        out.insert(0, "query_id", qid)
+                        outs.append(out)
+                if not outs:
+                    return pd.DataFrame(
+                        {
+                            "query_id": pd.Series([], dtype=object),
+                            "doc_id": np.array([], np.int64),
+                        }
+                    )
+                return pd.concat(outs, ignore_index=True)
+
+            cand = matched.groupBy("block_id").applyInPandas(
+                dispatch, "query_id STRING, doc_id LONG"
+            )
         meta = spark.createDataFrame(
             meta_rows, "query_id STRING, k INT, qoffset INT"
         )
@@ -1428,7 +1506,7 @@ class BlockSearchEngine:
         for req in requests.values():
             all_kw |= set(req.all_tokens()) | set(req.labels)
         present = bi.lookup_terms(sorted(all_kw))
-        kernels: dict = {}
+        lmeta: list[tuple] = []  # (qid, keywords-as-must, [], [], wl)
         qsets: dict[str, set] = {}
         zero_qids: list[str] = []
         for qid, req in requests.items():
@@ -1441,42 +1519,48 @@ class BlockSearchEngine:
                 wl = np.unique(
                     np.asarray([int(d) for d in req.doc_ids], np.int64)
                 )
-            kernels[qid] = self._make_logic_kernel(
-                keywords, [], [], whitelist=wl
-            )
+            lmeta.append((qid, keywords, [], [], wl))
             qsets[qid] = set(keywords)
         out = None
-        if kernels:
-
-            def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
-                shared: dict = {}
-                in_block = set(pdf["term"])
-                outs = []
-                for qid, kern in kernels.items():
-                    qs = qsets[qid]
-                    if not qs <= in_block:
-                        continue  # AND prune before any decode
-                    res = kern.impl(pdf[pdf["term"].isin(qs)], shared)
-                    if len(res):
-                        res.insert(0, "query_id", qid)
-                        outs.append(res)
-                if not outs:
-                    return pd.DataFrame(
-                        {
-                            "query_id": pd.Series([], dtype=object),
-                            "doc_id": np.array([], np.int64),
-                        }
-                    )
-                return pd.concat(outs, ignore_index=True)
-
+        if lmeta:
             matched = bi.blocks.where(
                 F.col("term").isin(sorted(set().union(*qsets.values())))
             )
-            counts = (
-                matched.groupBy("block_id")
-                .applyInPandas(dispatch, "query_id STRING, doc_id LONG")
-                .groupBy("query_id")
-                .agg(F.count("*").alias("cnt"))
+            # count = must-only candidates: the JVM logic kernel serves
+            # this shape directly (no tf decode on either path)
+            cand = self._jvm_logic_batch(matched, lmeta)
+            if cand is None:
+                kernels = {
+                    qid: self._make_logic_kernel(kw, [], [], whitelist=wl)
+                    for qid, kw, _s, _n, wl in lmeta
+                }
+
+                def dispatch(pdf: pd.DataFrame) -> pd.DataFrame:
+                    shared: dict = {}
+                    in_block = set(pdf["term"])
+                    outs = []
+                    for qid, kern in kernels.items():
+                        qs = qsets[qid]
+                        if not qs <= in_block:
+                            continue  # AND prune before any decode
+                        res = kern.impl(pdf[pdf["term"].isin(qs)], shared)
+                        if len(res):
+                            res.insert(0, "query_id", qid)
+                            outs.append(res)
+                    if not outs:
+                        return pd.DataFrame(
+                            {
+                                "query_id": pd.Series([], dtype=object),
+                                "doc_id": np.array([], np.int64),
+                            }
+                        )
+                    return pd.concat(outs, ignore_index=True)
+
+                cand = matched.groupBy("block_id").applyInPandas(
+                    dispatch, "query_id STRING, doc_id LONG"
+                )
+            counts = cand.groupBy("query_id").agg(
+                F.count("*").alias("cnt")
             )
             all_qids = spark.createDataFrame(
                 [(q,) for q in requests if q not in zero_qids],

@@ -158,10 +158,40 @@ object BlockQuery {
 
   private final class TermBlock(
       val docIdsRaw: Array[Byte], val tfsRaw: Array[Byte],
-      val lensRaw: Array[Byte]) {
+      val lensRaw: Array[Byte], val posRaw: Array[Byte] = null) {
     lazy val ids: Array[Long] = deltaDecode(docIdsRaw)
     lazy val tfs: Array[Float] = decodeFloats(tfsRaw)
     lazy val lens: Array[Float] = decodeFloats(lensRaw)
+    /** tf values as ints — the per-doc position counts (LocsIndex:
+     *  tf == len(positions), the codec stores no separate offsets). */
+    lazy val tfInts: Array[Long] = decodeIntsBest(tfsRaw)
+    /** Packed per-doc position lists decoded to (flat values, start
+     *  offset per doc) — the JVM twin of codec.unpack_position_lists:
+     *  within a list the first value is absolute, the rest gaps. */
+    lazy val posDecoded: (Array[Long], Array[Int]) = {
+      val counts = tfInts
+      val offs = new Array[Int](counts.length)
+      var acc = 0
+      var i = 0
+      while (i < counts.length) { offs(i) = acc; acc += counts(i).toInt; i += 1 }
+      if (posRaw == null || posRaw.isEmpty) (Array.emptyLongArray, offs)
+      else {
+        val d = decodeIntsBest(posRaw)
+        val flat = new Array[Long](d.length)
+        var idx = 0
+        var li = 0
+        while (li < counts.length) {
+          val c = counts(li).toInt
+          var a = 0L
+          var j = 0
+          while (j < c && idx < d.length) {
+            a += d(idx); flat(idx) = a; idx += 1; j += 1
+          }
+          li += 1
+        }
+        (flat, offs)
+      }
+    }
   }
 
   /** One block group's decoded state: (term, is_label) -> TermBlock
@@ -190,20 +220,27 @@ object BlockQuery {
     }
   }
 
-  /** Load one block group's rows, projected as exactly
-   *  (term, block_id, is_label, doc_ids, tfs, token_lens). */
-  private def readBlock(rows: Iterator[Row]): BlockMaps = {
+  /** Load one block group's rows.  Projection convention: columns 0-3
+   *  are always (term, block_id, is_label, doc_ids); `nCols` says how
+   *  many more follow in order (tfs, token_lens, positions) — the
+   *  logic path ships 4 columns, AND/BM25 ships 6, proximity 7. */
+  private def readBlockN(rows: Iterator[Row], nCols: Int): BlockMaps = {
     val bm = new BlockMaps
     for (r <- rows) {
       val tb = new TermBlock(
-        r.getAs[Array[Byte]](3), r.getAs[Array[Byte]](4),
-        r.getAs[Array[Byte]](5))
+        r.getAs[Array[Byte]](3),
+        if (nCols > 4) r.getAs[Array[Byte]](4) else null,
+        if (nCols > 5) r.getAs[Array[Byte]](5) else null,
+        if (nCols > 6) r.getAs[Array[Byte]](6) else null)
       val term = r.getString(0)
       bm.seen.add(term)
       if (r.getBoolean(2)) bm.labels.put(term, tb) else bm.content.put(term, tb)
     }
     bm
   }
+
+  /** (term, block_id, is_label, doc_ids, tfs, token_lens). */
+  private def readBlock(rows: Iterator[Row]): BlockMaps = readBlockN(rows, 6)
 
   /** Per-query AND + float32 BM25 body over one decoded block group —
    *  shared verbatim by searchAnd and searchAndBatch so the two stay
@@ -425,5 +462,295 @@ object BlockQuery {
         }
         outs.iterator
     }(Encoders.row(batchSchema))
+  }
+
+  // ----------------------------------------------------- proximity
+
+  private val proxBatchSchema = StructType(Seq(
+    StructField("query_id", StringType, nullable = false),
+    StructField("doc_id", LongType, nullable = false),
+    StructField("proximity", IntegerType, nullable = false)
+  ))
+
+  /** min over position choices of sum |P_{i+1} - P_i - len(token_i)|,
+   *  len in BYTES — the DP of riot's computeTokenProximity
+   *  (core/indexer.go:723-813), step-identical to the Python port
+   *  riot_spark/oracle.py::token_proximity (minus path reconstruction,
+   *  which only snippets need).  -1 = some token has no positions. */
+  def tokenProximity(poss: Array[Array[Long]], tokBytes: Array[Int]): Int = {
+    val n = poss.length
+    if (n == 0) return -1
+    var i = 0
+    while (i < n) { if (poss(i).length == 0) return -1; i += 1 }
+    if (n == 1) return 0
+    var curLocs = poss(0)
+    var curMin = new Array[Long](curLocs.length) // zeros
+    i = 1
+    while (i < n) {
+      val nxt = poss(i)
+      val nxtMin = Array.fill[Long](nxt.length)(-1L)
+      var iNext = 0
+      var iCur = 0
+      while (iCur < curLocs.length) {
+        if (curMin(iCur) != -1L) {
+          val curLoc = curLocs(iCur)
+          while (iNext + 1 < nxt.length && nxt(iNext + 1) < curLoc) iNext += 1
+          var t = 0
+          while (t < 2) {
+            val to = iNext + t
+            if (to < nxt.length) {
+              val v = curMin(iCur) + math.abs(nxt(to) - curLoc - tokBytes(i - 1))
+              if (nxtMin(to) == -1L || v < nxtMin(to)) nxtMin(to) = v
+            }
+            t += 1
+          }
+        }
+        iCur += 1
+      }
+      curLocs = nxt
+      curMin = nxtMin
+      i += 1
+    }
+    var best = -1L
+    i = 0
+    while (i < curMin.length) {
+      val v = curMin(i)
+      if (v != -1L && (best == -1L || v < best)) best = v
+      i += 1
+    }
+    best.toInt
+  }
+
+  /** Batched proximity-criteria kernel: AND-intersect each query's
+   *  keywords, then run the proximity DP over the packed positions —
+   *  all queries of the batch served from ONE executor-side decode of
+   *  each block (same dispatch shape as searchAndBatch).  Emits every
+   *  candidate; proximity -1 marks unscorable docs (a query token
+   *  matched only via a label posting, indexer.go:489-507) and the
+   *  caller maps it to score 0 — the contract of the pandas kernel
+   *  (blocks.py::_make_and_kernel with do_prox=True).
+   *
+   *  `df` is projected as (term, block_id, is_label, doc_ids, tfs,
+   *  token_lens, positions); position counts come from the tf ints. */
+  def searchProxBatch(
+      df: DataFrame,
+      qids: java.util.List[String],
+      tokTermsB: java.util.List[java.util.List[String]],
+      kwTermsB: java.util.List[java.util.List[String]],
+      whitelists: java.util.List[java.util.List[java.lang.Number]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val nQ = qids.size
+    val qid = qids.asScala.toArray
+    val toksB = new Array[Array[String]](nQ)
+    val tokBytesB = new Array[Array[Int]](nQ)
+    val kwsDistinctB = new Array[Array[String]](nQ)
+    val wlB = new Array[Array[Long]](nQ)
+    var q = 0
+    while (q < nQ) {
+      toksB(q) = tokTermsB.get(q).asScala.toArray
+      tokBytesB(q) = toksB(q).map(_.getBytes("UTF-8").length)
+      kwsDistinctB(q) = kwTermsB.get(q).asScala.toArray.distinct
+      val w = whitelists.get(q)
+      wlB(q) = if (w == null) null else w.asScala.map(_.longValue).toArray
+      q += 1
+    }
+
+    df.groupByKey(r => r.getLong(1))(Encoders.scalaLong).flatMapGroups {
+      (_: Long, rows: Iterator[Row]) =>
+        val bm = readBlockN(rows, 7)
+        val outs = new ArrayBuffer[Row]()
+        var qi = 0
+        while (qi < nQ) {
+          if (kwsDistinctB(qi).forall(bm.seen.contains)) {
+            val ordered = kwsDistinctB(qi).sortBy(t => bm.idsOf(t).length)
+            var cur = bm.idsOf(ordered(0))
+            var oi = 1
+            while (oi < ordered.length && cur.length > 0) {
+              cur = intersectSorted(cur, bm.idsOf(ordered(oi)))
+              oi += 1
+            }
+            if (wlB(qi) != null && cur.length > 0)
+              cur = intersectSorted(cur, wlB(qi))
+            if (cur.length > 0) {
+              val toks = toksB(qi)
+              val nTok = toks.length
+              val nC = cur.length
+              val unscor = new Array[Boolean](nC)
+              val foundT = new Array[Array[Boolean]](nTok)
+              val idxT = new Array[Array[Int]](nTok)
+              var ti = 0
+              while (ti < nTok) {
+                val c = bm.content.get(toks(ti))
+                if (c == null) {
+                  java.util.Arrays.fill(unscor, true)
+                  foundT(ti) = new Array[Boolean](nC)
+                  idxT(ti) = new Array[Int](nC)
+                } else {
+                  val (found, idx) = member(c.ids, cur)
+                  var j = 0
+                  while (j < nC) {
+                    if (!found(j)) unscor(j) = true
+                    j += 1
+                  }
+                  foundT(ti) = found
+                  idxT(ti) = idx
+                }
+                ti += 1
+              }
+              val prox = Array.fill(nC)(-1)
+              if (nTok > 0) {
+                var j = 0
+                while (j < nC) {
+                  if (!unscor(j)) {
+                    val poss = new Array[Array[Long]](nTok)
+                    var i = 0
+                    while (i < nTok) {
+                      val c = bm.content.get(toks(i))
+                      val (flat, offs) = c.posDecoded
+                      val ix = idxT(i)(j)
+                      val cnt = c.tfInts(ix).toInt
+                      val off = offs(ix)
+                      poss(i) =
+                        if (off + cnt <= flat.length)
+                          java.util.Arrays.copyOfRange(flat, off, off + cnt)
+                        else Array.emptyLongArray
+                      i += 1
+                    }
+                    prox(j) = tokenProximity(poss, tokBytesB(qi))
+                  }
+                  j += 1
+                }
+              }
+              var j = 0
+              while (j < nC) {
+                outs += Row(qid(qi), cur(j), prox(j))
+                j += 1
+              }
+            }
+          }
+          qi += 1
+        }
+        outs.iterator
+    }(Encoders.row(proxBatchSchema))
+  }
+
+  // --------------------------------------------------------- logic
+
+  private val logicBatchSchema = StructType(Seq(
+    StructField("query_id", StringType, nullable = false),
+    StructField("doc_id", LongType, nullable = false)
+  ))
+
+  /** Union of k sorted distinct arrays (np.unique(concatenate)). */
+  private def unionAll(arrs: Seq[Array[Long]]): Array[Long] =
+    arrs.reduce(unionSorted)
+
+  /** a \ b over sorted distinct arrays. */
+  private def diffSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new ArrayBuffer[Long](a.length)
+    var i = 0; var j = 0
+    while (i < a.length) {
+      while (j < b.length && b(j) < a(i)) j += 1
+      if (j >= b.length || b(j) != a(i)) out += a(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Batched must/should/notIn set algebra on the packed layout — the
+   *  JVM twin of blocks.py::_make_logic_kernel under the decode-once
+   *  batch dispatch (LogicLookup, core/indexer.go:561-685, incl. the
+   *  notIn-only quirk of returning the notIn docs themselves).  The
+   *  caller passes per-query must/should/notIn already filtered to
+   *  globally-present terms exactly as the pandas path does; block-
+   *  level absence is handled here.  CountDocsOnly batches route
+   *  through this too (count = must-only candidates, counted by the
+   *  caller).  `df` is projected as (term, block_id, is_label,
+   *  doc_ids) — the logic path never decodes tf/len/position bytes. */
+  def searchLogicBatch(
+      df: DataFrame,
+      qids: java.util.List[String],
+      mustB: java.util.List[java.util.List[String]],
+      shouldB: java.util.List[java.util.List[String]],
+      notinB: java.util.List[java.util.List[String]],
+      whitelists: java.util.List[java.util.List[java.lang.Number]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val nQ = qids.size
+    val qid = qids.asScala.toArray
+    val mB = new Array[Array[String]](nQ)
+    val sB = new Array[Array[String]](nQ)
+    val nB = new Array[Array[String]](nQ)
+    val wlB = new Array[Array[Long]](nQ)
+    var q = 0
+    while (q < nQ) {
+      mB(q) = mustB.get(q).asScala.toArray
+      sB(q) = shouldB.get(q).asScala.toArray
+      nB(q) = notinB.get(q).asScala.toArray
+      val w = whitelists.get(q)
+      wlB(q) = if (w == null) null else w.asScala.map(_.longValue).toArray
+      q += 1
+    }
+
+    df.groupByKey(r => r.getLong(1))(Encoders.scalaLong).flatMapGroups {
+      (_: Long, rows: Iterator[Row]) =>
+        val bm = readBlockN(rows, 4)
+        val outs = new ArrayBuffer[Row]()
+
+        def emit(qi: Int, cur: Array[Long]): Unit = {
+          var j = 0
+          while (j < cur.length) { outs += Row(qid(qi), cur(j)); j += 1 }
+        }
+
+        var qi = 0
+        while (qi < nQ) {
+          val must = mB(qi); val should = sB(qi); val notin = nB(qi)
+          var cur: Array[Long] = null
+          var skip = false
+          var done = false
+          if (must.nonEmpty) {
+            if (!must.forall(bm.seen.contains)) skip = true
+            else {
+              val ordered = must.sortBy(t => bm.idsOf(t).length)
+              cur = bm.idsOf(ordered(0))
+              var oi = 1
+              while (oi < ordered.length && cur.length > 0) {
+                cur = intersectSorted(cur, bm.idsOf(ordered(oi)))
+                oi += 1
+              }
+              if (cur.length == 0) skip = true
+              else if (should.nonEmpty) {
+                val sh = should.filter(bm.seen.contains).map(bm.idsOf)
+                if (sh.isEmpty) skip = true
+                else cur = intersectSorted(cur, unionAll(sh.toSeq))
+              }
+            }
+          } else if (should.nonEmpty) {
+            val sh = should.filter(bm.seen.contains).map(bm.idsOf)
+            if (sh.isEmpty) skip = true
+            else cur = unionAll(sh.toSeq)
+          } else {
+            // notIn-only quirk: the notIn docs themselves, whitelist
+            // applied, NO subtraction (indexer.go:660-682)
+            val ni = notin.filter(bm.seen.contains).map(bm.idsOf)
+            if (ni.isEmpty) skip = true
+            else {
+              cur = unionAll(ni.toSeq)
+              if (wlB(qi) != null) cur = intersectSorted(cur, wlB(qi))
+              emit(qi, cur)
+              done = true
+            }
+          }
+          if (!skip && !done) {
+            if (notin.nonEmpty) {
+              val ni = notin.filter(bm.seen.contains).map(bm.idsOf)
+              if (ni.nonEmpty) cur = diffSorted(cur, unionAll(ni.toSeq))
+            }
+            if (wlB(qi) != null) cur = intersectSorted(cur, wlB(qi))
+            emit(qi, cur)
+          }
+          qi += 1
+        }
+        outs.iterator
+    }(Encoders.row(logicBatchSchema))
   }
 }

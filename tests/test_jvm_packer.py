@@ -242,6 +242,147 @@ def test_jvm_batch_labels(spark):
     assert {q for q, *_ in got} == {"lab", "lab_all"}
 
 
+def _batch_key(r):
+    return (r["query_id"], r["rank"], r["doc_id"], np.float32(r["score"]))
+
+
+def test_jvm_prox_batch_bit_identical(locs_index):
+    """search_batch's proximity-criteria family through the JVM kernel
+    (searchProxBatch: executor-side positions decode + proximity DP)
+    must be bit-identical to the pandas dispatcher across whitelist,
+    reverse, offset, 3-token and missing-term shapes."""
+    bi = blocked_from_index(locs_index, doc_block_bits=6, packer="jvm")
+    jeng = BlockSearchEngine(bi)
+    peng = BlockSearchEngine(bi)
+    peng._jvm_prox_batch = lambda *a, **k: None  # force pandas dispatch
+    reqs = {
+        "p1": SearchRequest(tokens=["data", "query"], scorer="float32",
+                            criteria="proximity", max_outputs=10),
+        "p2": SearchRequest(tokens=["join", "filter", "sort"],
+                            scorer="float32", criteria="proximity",
+                            max_outputs=5, offset=2),
+        "prev": SearchRequest(tokens=["data", "query"], scorer="float32",
+                              criteria="proximity", max_outputs=10,
+                              reverse_order=True),
+        "pwl": SearchRequest(tokens=["data", "query"], scorer="float32",
+                             criteria="proximity", max_outputs=10,
+                             doc_ids=list(range(0, 300, 2))),
+        "pall": SearchRequest(tokens=["group", "order"], scorer="float32",
+                              criteria="proximity"),
+        "pmiss": SearchRequest(tokens=["data", "zzzqx"], scorer="float32",
+                               criteria="proximity", max_outputs=10),
+    }
+    got = sorted(_batch_key(r) for r in jeng.search_batch(reqs).collect())
+    want = sorted(_batch_key(r) for r in peng.search_batch(reqs).collect())
+    assert got == want
+    assert {q for q, *_ in got} == {"p1", "p2", "prev", "pwl", "pall"}
+
+
+def test_jvm_prox_batch_labels_unscorable(spark):
+    """A query token matched only via a label posting is unscorable
+    (proximity -1 -> score 0) — pin the JVM DP's unscorable guard and
+    the label/content union to the pandas kernel on a labelled
+    store."""
+    from pyspark.sql import functions as F
+
+    docs = load_documents(spark, SF_SMOKE).withColumn(
+        "labels", F.array(F.col("source"))
+    )
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    idx = build_index(docs, cfg, labels_col="labels")
+    bi = blocked_from_index(idx, doc_block_bits=6, packer="jvm")
+    jeng = BlockSearchEngine(bi)
+    peng = BlockSearchEngine(bi)
+    peng._jvm_prox_batch = lambda *a, **k: None
+    reqs = {
+        # src3 is label-only: every match is unscorable (score 0)
+        "plab": SearchRequest(tokens=["data", "src3"], scorer="float32",
+                              criteria="proximity", max_outputs=10),
+        # label as a label (not a token): intersects but no DP token
+        "plab2": SearchRequest(tokens=["data", "query"], labels=["src1"],
+                               scorer="float32", criteria="proximity",
+                               max_outputs=10),
+    }
+    got = sorted(_batch_key(r) for r in jeng.search_batch(reqs).collect())
+    want = sorted(_batch_key(r) for r in peng.search_batch(reqs).collect())
+    assert got == want
+    assert {q for q, *_ in got} == {"plab", "plab2"}
+    # the unscorable branch must actually fire somewhere
+    assert any(s == np.float32(0.0) for _q, _r, _d, s in got)
+
+
+def test_jvm_logic_batch_bit_identical(locs_index):
+    """search_batch's logic family through the JVM kernel
+    (searchLogicBatch) must match the pandas dispatcher across
+    must/should/notIn, the notIn-only quirk, whitelisted logic, and
+    orderless(+whitelist) which rides the logic path."""
+    bi = blocked_from_index(locs_index, doc_block_bits=6, packer="jvm")
+    jeng = BlockSearchEngine(bi)
+    peng = BlockSearchEngine(bi)
+    peng._jvm_logic_batch = lambda *a, **k: None  # force pandas dispatch
+    reqs = {
+        "l1": SearchRequest(must=["data"], should=["query", "spark"],
+                            not_in=["dup"]),
+        "l2": SearchRequest(must=["data", "query"]),
+        "lni": SearchRequest(not_in=["data", "batch"]),
+        "lwl": SearchRequest(must=["data"], not_in=["dup"],
+                             doc_ids=list(range(0, 300, 3))),
+        "lsh": SearchRequest(should=["join", "filter"]),
+        "o1": SearchRequest(tokens=["group", "order"], orderless=True),
+        "owl": SearchRequest(tokens=["data"], orderless=True,
+                             doc_ids=list(range(0, 200, 2))),
+        "lmiss": SearchRequest(must=["data", "zzzqx"]),
+    }
+    got = sorted(_batch_key(r) for r in jeng.search_batch(reqs).collect())
+    want = sorted(_batch_key(r) for r in peng.search_batch(reqs).collect())
+    assert got == want
+    assert {q for q, *_ in got} == {
+        "l1", "l2", "lni", "lwl", "lsh", "o1", "owl"
+    }
+
+
+def test_jvm_count_batch_bit_identical(locs_index):
+    """CountDocsOnly batches route their candidate pass through the
+    JVM logic kernel (count = must-only); counts must match the pandas
+    dispatcher, including whitelisted counts and the count-0 row for a
+    missing keyword."""
+    bi = blocked_from_index(locs_index, doc_block_bits=6, packer="jvm")
+    jeng = BlockSearchEngine(bi)
+    peng = BlockSearchEngine(bi)
+    peng._jvm_logic_batch = lambda *a, **k: None
+    reqs = {
+        "c1": SearchRequest(tokens=["data", "query"], count_docs_only=True),
+        "cwl": SearchRequest(tokens=["data"], count_docs_only=True,
+                             doc_ids=list(range(0, 300, 2))),
+        "cmiss": SearchRequest(tokens=["zzzqx"], count_docs_only=True),
+    }
+    got = sorted(_batch_key(r) for r in jeng.search_batch(reqs).collect())
+    want = sorted(_batch_key(r) for r in peng.search_batch(reqs).collect())
+    assert got == want
+    assert len(got) == 3  # one count row per query, incl. the 0 count
+    counts = {q: s for q, _r, _d, s in got}
+    assert counts["cmiss"] == np.float32(0.0)
+    assert counts["c1"] > 0 and counts["cwl"] > 0
+
+
+def test_jvm_search_logic_single(locs_index):
+    """Single-request search_logic routes through the JVM kernel when
+    the jar is present; doc ids must equal the pandas kernel's."""
+    bi = blocked_from_index(locs_index, doc_block_bits=6, packer="jvm")
+    jeng = BlockSearchEngine(bi)
+    peng = BlockSearchEngine(bi)
+    peng._jvm_logic_batch = lambda *a, **k: None
+    for args in (
+        dict(must=["data"], should=["query", "spark"], not_in=["dup"]),
+        dict(not_in=["data"]),
+        dict(must=["data", "query"]),
+    ):
+        got = sorted(r["doc_id"] for r in jeng.search_logic(**args).collect())
+        want = sorted(r["doc_id"] for r in peng.search_logic(**args).collect())
+        assert got == want, args
+        assert got, args
+
+
 def test_jvm_and_apply_whitelist(locs_index):
     """The JVM apply's whitelist argument (post-intersection doc-id
     filter, Q3) matches the pandas kernel built with the same
