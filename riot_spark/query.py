@@ -75,6 +75,19 @@ class SearchRequest:
         return tokenize_query(self.text) + list(self.tokens)
 
 
+def _flat_jvm_available(spark) -> bool:
+    """True when the compiled flat-path kernel (FlatQuery in
+    riotspark.jar) is on this session's driver classpath.  Sessions
+    created outside riot_spark.session.get_spark (e.g. the DuckDB
+    correctness harness) lack the jar and transparently keep the
+    pandas kernels."""
+    try:
+        spark._jvm.java.lang.Class.forName("riotspark.FlatQuery")
+        return True
+    except Exception:
+        return False
+
+
 RESULT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -355,7 +368,62 @@ class SearchEngine:
             if nparts
             else matched.repartition("doc_id")
         ).sortWithinPartitions("doc_id")
+        jvm = self._jvm_f32_batch(
+            part.select(F.lit("q").alias("query_id"), "*"),
+            {"q": (tok_list, tok_order, df_list, n_kw)},
+        )
+        if jvm is not None:
+            return jvm.select("doc_id", "score", "proximity", "snippet_locs")
         return part.mapInPandas(kernel, RESULT_SCHEMA)
+
+    def _jvm_f32_batch(
+        self, part: DataFrame, qinfo: dict[str, tuple]
+    ) -> DataFrame | None:
+        """JVM twin of the batched f32 scorer kernel
+        (riot_spark/jvm/FlatQuery.scala::searchF32Batch): the matched
+        postings stay executor-side — each (query_id, doc_id)-sorted
+        partition is walked group-by-group inside the JVM, scoring
+        BM25 (bit-exact float32, idf fixed driver-side exactly as the
+        block kernels do) plus the proximity DP with snippet path.
+        Returns None when riotspark.jar is absent, and the pandas
+        kernel takes over.  Differential-tested in
+        tests/test_jvm_flat.py."""
+        idx = self.index
+        spark = self._spark()
+        if not _flat_jvm_available(spark):
+            return None
+        p = idx.config.bm25
+        n_docs = idx.n_docs
+        qids_l, toks_l, idf_l, dfs_l, nkw_l = [], [], [], [], []
+        for qid, (tok_list, _tok_order, df_list, n_kw) in qinfo.items():
+            qids_l.append(qid)
+            toks_l.append(list(tok_list))
+            idf_l.append(
+                [
+                    float(np.float32(np.log2(n_docs / df + 1.0)))
+                    if df > 0
+                    else 0.0
+                    for df in df_list
+                ]
+            )
+            dfs_l.append([int(d) for d in df_list])
+            nkw_l.append(int(n_kw))
+        cols = [
+            F.col("query_id").cast("string"),
+            F.col("doc_id").cast("long"),
+            F.col("term").cast("string"),
+            F.col("tf").cast("float"),
+            F.col("positions").cast("array<int>"),
+            F.col("token_len").cast("float"),
+            F.col("is_label").cast("boolean"),
+        ]
+        jdf = spark._jvm.riotspark.FlatQuery.searchF32Batch(
+            part.select(cols)._jdf,
+            qids_l, toks_l, idf_l, dfs_l, nkw_l,
+            float(p.k1), float(p.b), float(idx.avgdl),
+            idx.config.index_type == LOCS_INDEX,
+        )
+        return DataFrame(jdf, spark)
 
     # ------------------------------------------------------------ logic ops
 
@@ -1085,7 +1153,9 @@ class SearchEngine:
             if nparts
             else matched.repartition("query_id", "doc_id")
         ).sortWithinPartitions("query_id", "doc_id")
-        res = part.mapInPandas(kernel, out_schema)
+        res = self._jvm_f32_batch(part, qinfo)
+        if res is None:
+            res = part.mapInPandas(kernel, out_schema)
 
         meta = spark.createDataFrame(
             meta_rows,
