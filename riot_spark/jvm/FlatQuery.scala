@@ -108,6 +108,99 @@ object FlatQuery {
     (best.toInt, locs)
   }
 
+  /** Skew-proof partial top-k — the JVM twin of
+   *  SearchEngine._partial_topk's pandas cap (itself riot's per-shard
+   *  [0, offset+max) slice, ranker_worker.go:60-73, reproduced for
+   *  the batch path).  Per partition, per query: a bounded heap keeps
+   *  the best (offset+k) rows by (score*dir desc, doc_id*dir asc)
+   *  (byScore) or (doc_id asc) (orderless/count ranking); k == 0 rows
+   *  stream through uncapped.  Exact by the same argument as the
+   *  pandas cap: every global top-(offset+k) row survives its
+   *  partition's cut, and the downstream per-query window re-ranks.
+   *  Column positions are resolved by name driver-side and passed in;
+   *  dirIdx < 0 means no dir column (direction fixed at +1).  The
+   *  output schema is the input schema — rows pass through intact. */
+  def partialTopK(
+      df: DataFrame,
+      qidIdx: Int, docIdx: Int, scoreIdx: Int,
+      kIdx: Int, qoffIdx: Int, dirIdx: Int,
+      byScore: Boolean): DataFrame = {
+    val schema = df.schema
+    df.mapPartitions { rows =>
+      new Iterator[Row] {
+        // head = WORST kept row (min-heap under the reversed order)
+        private val ord = new java.util.Comparator[(Double, Double, Row)] {
+          def compare(
+              a: (Double, Double, Row), b: (Double, Double, Row)): Int = {
+            val c = java.lang.Double.compare(b._1, a._1)
+            if (c != 0) c else java.lang.Double.compare(b._2, a._2)
+          }
+        }
+        private val heaps = new java.util.HashMap[
+          String, java.util.PriorityQueue[(Double, Double, Row)]]()
+        private val caps = new java.util.HashMap[String, Int]()
+        private var drain: java.util.Iterator[Row] = null
+        private var outRow: Row = null
+
+        private def keyOf(r: Row): (Double, Double) = {
+          val doc = r.get(docIdx).asInstanceOf[Number].doubleValue
+          if (!byScore) (0.0, doc)
+          else {
+            val d =
+              if (dirIdx < 0) 1.0
+              else r.get(dirIdx).asInstanceOf[Number].doubleValue
+            val s = r.get(scoreIdx).asInstanceOf[Number].doubleValue
+            (-(s * d), doc * d)
+          }
+        }
+
+        private def advance(): Unit = {
+          while (outRow == null) {
+            if (rows.hasNext) {
+              val r = rows.next()
+              val k = r.get(kIdx).asInstanceOf[Number].intValue
+              if (k == 0) { outRow = r } // unlimited: no cap possible
+              else {
+                val qid = r.getString(qidIdx)
+                var h = heaps.get(qid)
+                if (h == null) {
+                  h = new java.util.PriorityQueue(ord)
+                  heaps.put(qid, h)
+                  caps.put(
+                    qid, k + r.get(qoffIdx).asInstanceOf[Number].intValue)
+                }
+                val (k1, k2) = keyOf(r)
+                if (h.size < caps.get(qid)) h.offer((k1, k2, r))
+                else if (ord.compare((k1, k2, r), h.peek()) > 0) {
+                  h.poll(); h.offer((k1, k2, r))
+                }
+              }
+            } else {
+              if (drain == null) {
+                val all = new java.util.ArrayList[Row]()
+                val it = heaps.values().iterator()
+                while (it.hasNext) {
+                  val hi = it.next().iterator()
+                  while (hi.hasNext) all.add(hi.next()._3)
+                }
+                drain = all.iterator()
+              }
+              if (drain.hasNext) outRow = drain.next() else return
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); outRow != null }
+        override def next(): Row = {
+          advance()
+          val r = outRow
+          outRow = null
+          r
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Per-query compiled metadata. */
   private final class QInfo(
       val nTok: Int,

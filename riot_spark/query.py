@@ -680,10 +680,25 @@ class SearchEngine:
         query instead of the full match set.  Exact: the ordering is
         total (doc_id unique per query), so every global top-(offset+k)
         row survives its batch's cut.  Rows with k == 0 (unlimited)
-        pass through uncapped."""
+        pass through uncapped.
+
+        When riotspark.jar is present the cap runs as the JVM twin
+        (FlatQuery.scala::partialTopK — per-partition bounded heaps),
+        so hot candidate sets never cross into Python at all; the
+        pandas pass below is the jarless fallback."""
         schema = df.schema
         cols = df.columns
         has_dir = "dir" in cols
+        spark = df.sparkSession
+        if _flat_jvm_available(spark):
+            ix = {c: i for i, c in enumerate(cols)}
+            jdf = spark._jvm.riotspark.FlatQuery.partialTopK(
+                df._jdf,
+                ix["query_id"], ix["doc_id"], ix.get("score", -1),
+                ix["k"], ix["qoffset"], ix.get("dir", -1),
+                bool(by_score),
+            )
+            return DataFrame(jdf, spark)
 
         def cap(batches):
             for pdf in batches:

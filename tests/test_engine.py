@@ -433,16 +433,24 @@ def test_search_batch_matches_per_query(spark):
 def test_batch_partial_topk_in_plan(spark):
     """The batched ranker must pre-reduce candidates BEFORE the global
     per-query window (riot slices [0, offset+max) per shard before the
-    merge, ranker_worker.go:60-73): the plan must contain a
-    MapInPandas partial top-k between the aggregate and the window —
-    and NO exchange between them (the cap filters rows where they
-    already are) — so no single task ever ranks a hot query's full
-    candidate set."""
+    merge, ranker_worker.go:60-73): the plan must contain the partial
+    top-k cap between the aggregate and the window — MapPartitions
+    (the JVM heap cap) when riotspark.jar is present, MapInPandas
+    otherwise — and NO exchange between them (the cap filters rows
+    where they already are), so no single task ever ranks a hot
+    query's full candidate set."""
     import io
     import contextlib
+    from riot_spark.query import _flat_jvm_available
     from riot_spark.sources.corpus import load_documents
     from riot_spark.build import build_index
     from tests.conftest import SF_SMOKE
+
+    # match the node header "MapPartitions (NN)" — a bare substring
+    # would also hit "MapPartitionsRDD[...]" in ExistingRDD arguments
+    cap_node = (
+        "MapPartitions (" if _flat_jvm_available(spark) else "MapInPandas ("
+    )
 
     docs = load_documents(spark, SF_SMOKE)
     idx = build_index(docs, EngineConfig(index_type=FREQUENCIES_INDEX,
@@ -471,9 +479,9 @@ def test_batch_partial_topk_in_plan(spark):
     try:
         SearchEngine.PARTIAL_TOPK_MIN_DF = 0
         plan = plan_of(eng.search_batch(reqs))
-        assert "MapInPandas" in plan, plan
+        assert cap_node in plan, plan
         assert "Window" in plan, plan
-        cap_pos = plan.index("MapInPandas")
+        cap_pos = plan.index(cap_node)
         win_pos = plan.index("Window")
         assert win_pos < cap_pos  # formatted plan prints top-down:
         # the cap sits below (before) the final per-query window
@@ -482,13 +490,13 @@ def test_batch_partial_topk_in_plan(spark):
         plan2 = plan_of(eng.search_batch(
             {"l1": SearchRequest(must=["data"], not_in=["dup"], max_outputs=8)}
         ))
-        assert "MapInPandas" in plan2
+        assert cap_node in plan2
 
         # k == 0 everywhere -> no cap possible, partial phase skipped
         plan3 = plan_of(eng.search_batch(
             {"u1": SearchRequest(text="data query")}
         ))
-        assert "MapInPandas" not in plan3
+        assert cap_node not in plan3
         # the capped path must be value-identical to the uncapped one
         hot = {
             qid: [(r["doc_id"], r["rank"]) for r in rows]
@@ -503,8 +511,8 @@ def test_batch_partial_topk_in_plan(spark):
     assert hot == cold
 
     # cold terms (df far below the threshold) skip the pass — the
-    # ~0.3 s Arrow round-trip is only paid when a reducer could flood
-    assert "MapInPandas" not in plan_of(eng.search_batch(reqs))
+    # cap pass is only paid when a reducer could flood
+    assert cap_node not in plan_of(eng.search_batch(reqs))
 
 
 def test_hot_term_salting_spreads_partitions(spark):
