@@ -610,6 +610,41 @@ class BlockSearchEngine:
         )
         return DataFrame(jdf, spark)
 
+    def _make_jvm_prox_apply(
+        self, tok_list: list[str], keywords: list[str], dfs: dict[str, int]
+    ):
+        """JVM twin of the pandas AND+proximity kernel
+        (BlockQuery.scala::searchProx): float32 BM25 via the shared
+        andScore body plus the token-proximity DP with snippet-path
+        reconstruction, all over the packed positions inside the
+        executor.  Returns an apply(df)->DataFrame or None when
+        riotspark.jar is absent.  Bit-identical to the pandas kernel
+        (tests/test_jvm_packer.py::test_jvm_prox_single)."""
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        if not jvm_pack_available(spark):
+            return None
+        p = bi.params
+        idf = [
+            float(np.float32(np.log2(bi.n_docs / dfs[t] + 1.0)))
+            for t in tok_list
+        ]
+        df_list = [int(dfs[t]) for t in tok_list]
+        cols = [
+            "term", "block_id", "is_label", "doc_ids", "tfs",
+            "token_lens", "positions",
+        ]
+
+        def apply_prox(df: DataFrame) -> DataFrame:
+            jdf = spark._jvm.riotspark.BlockQuery.searchProx(
+                df.select(cols)._jdf,
+                list(tok_list), idf, df_list, list(keywords),
+                float(p.k1), float(p.b), float(bi.avgdl),
+            )
+            return DataFrame(jdf, spark)
+
+        return apply_prox
+
     def _jvm_prox_batch(
         self, matched: DataFrame, qmeta: list[tuple]
     ) -> DataFrame | None:
@@ -777,7 +812,7 @@ class BlockSearchEngine:
         apply_and = (
             self._make_jvm_and_apply(tok_list, keywords, dfs)
             if not do_prox
-            else None
+            else self._make_jvm_prox_apply(tok_list, keywords, dfs)
         )
         if apply_and is None:
             kernel = self._make_and_kernel(tok_list, keywords, dfs, do_prox)

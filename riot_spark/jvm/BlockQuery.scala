@@ -521,6 +521,111 @@ object BlockQuery {
     best.toInt
   }
 
+  private val proxFullSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("score", FloatType, nullable = false),
+    StructField("proximity", IntegerType, nullable = false),
+    StructField("snippet_locs", ArrayType(IntegerType), nullable = false)
+  ))
+
+  /** Single-query AND + float32 BM25 + proximity DP + snippet path
+   *  over packed blocks — the JVM twin of the pandas kernel built by
+   *  blocks.py::_make_and_kernel with do_prox=True (the
+   *  search_and(proximity=True) path).  Scores come from the shared
+   *  andScore body (bit-identical to searchAnd); the DP runs
+   *  FlatQuery.tokenProximityPath over the packed positions, emitting
+   *  the chosen snippet locations exactly like oracle.token_proximity.
+   *  Unscorable docs (a query token matched only via a label posting)
+   *  keep score 0, proximity -1, empty snippet.  `df` is projected as
+   *  (term, block_id, is_label, doc_ids, tfs, token_lens, positions). */
+  def searchProx(
+      df: DataFrame,
+      tokTerms: java.util.List[String],
+      tokIdf: java.util.List[java.lang.Number],
+      tokDf: java.util.List[java.lang.Number],
+      kwTerms: java.util.List[String],
+      k1d: Double, bd: Double, avgdld: Double): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val toks: Array[String] = tokTerms.asScala.toArray
+    val idf: Array[Float] = tokIdf.asScala.map(_.doubleValue.toFloat).toArray
+    val dfList: Array[Long] = tokDf.asScala.map(_.longValue).toArray
+    val kws: Array[String] = kwTerms.asScala.toArray
+    val tokBytes: Array[Int] = toks.map(_.getBytes("UTF-8").length)
+    val k1 = k1d.toFloat
+    val b = bd.toFloat
+    val avg = avgdld.toFloat
+    val nKw = kws.toSet.size
+    val nTok = toks.length
+
+    df.groupByKey(r => r.getLong(1))(Encoders.scalaLong).flatMapGroups {
+      (_: Long, rows: Iterator[Row]) =>
+        val bm = readBlockN(rows, 7)
+        if (bm.seen.size != nKw) Iterator.empty // AND prune
+        else {
+          val (ids, scores) =
+            andScore(bm, toks, idf, dfList, kws, null, k1, b, avg, true)
+          if (ids.isEmpty) Iterator.empty
+          else {
+            val nC = ids.length
+            val unscor = new Array[Boolean](nC)
+            val foundT = new Array[Array[Boolean]](nTok)
+            val idxT = new Array[Array[Int]](nTok)
+            var ti = 0
+            while (ti < nTok) {
+              val c = bm.content.get(toks(ti))
+              if (c == null) {
+                java.util.Arrays.fill(unscor, true)
+                foundT(ti) = new Array[Boolean](nC)
+                idxT(ti) = new Array[Int](nC)
+              } else {
+                val (found, idx) = member(c.ids, ids)
+                var j = 0
+                while (j < nC) {
+                  if (!found(j)) unscor(j) = true
+                  j += 1
+                }
+                foundT(ti) = found
+                idxT(ti) = idx
+              }
+              ti += 1
+            }
+            val prox = Array.fill(nC)(-1)
+            val snips = Array.fill[Array[Int]](nC)(Array.emptyIntArray)
+            if (nTok > 0) {
+              var j = 0
+              while (j < nC) {
+                if (!unscor(j)) {
+                  val poss = new Array[Array[Int]](nTok)
+                  var i = 0
+                  while (i < nTok) {
+                    val c = bm.content.get(toks(i))
+                    val (flat, offs) = c.posDecoded
+                    val ix = idxT(i)(j)
+                    val cnt = c.tfInts(ix).toInt
+                    val off = offs(ix)
+                    poss(i) =
+                      if (off + cnt <= flat.length) {
+                        val a = new Array[Int](cnt)
+                        var m = 0
+                        while (m < cnt) { a(m) = flat(off + m).toInt; m += 1 }
+                        a
+                      } else Array.emptyIntArray
+                    i += 1
+                  }
+                  val (p, s) = FlatQuery.tokenProximityPath(poss, tokBytes)
+                  prox(j) = p
+                  snips(j) = s
+                }
+                j += 1
+              }
+            }
+            Iterator.tabulate(nC)(j =>
+              Row(ids(j), scores(j), prox(j), snips(j).toSeq))
+          }
+        }
+    }(Encoders.row(proxFullSchema))
+  }
+
   /** Batched proximity-criteria kernel: AND-intersect each query's
    *  keywords, then run the proximity DP over the packed positions —
    *  all queries of the batch served from ONE executor-side decode of

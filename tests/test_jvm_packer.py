@@ -410,3 +410,68 @@ def test_jvm_and_apply_whitelist(locs_index):
     )
     assert got == want
     assert len(got) == len(wl)
+
+
+def test_jvm_prox_single(locs_index):
+    """Single-query search_and(proximity=True) through the JVM kernel
+    (searchProx: andScore + proximity DP + snippet path) must be
+    bit-identical to the pandas kernel — scores as float32, proximity
+    ints, snippet locations element for element — incl. 1-token and
+    3-token DP shapes."""
+    bi = blocked_from_index(locs_index, doc_block_bits=6, packer="jvm")
+    jeng = BlockSearchEngine(bi)
+    peng = BlockSearchEngine(bi)
+    peng._make_jvm_prox_apply = lambda *a, **k: None  # force pandas
+
+    def rows(e, toks):
+        return sorted(
+            (
+                r["doc_id"], np.float32(r["score"]), r["proximity"],
+                tuple(r["snippet_locs"] or ()),
+            )
+            for r in e.search_and(toks, proximity=True).collect()
+        )
+
+    for toks in (["data", "query"], ["data"], ["join", "filter", "sort"]):
+        got = rows(jeng, toks)
+        want = rows(peng, toks)
+        assert got == want, toks
+        assert got, toks
+
+
+def test_jvm_prox_single_labels(spark):
+    """Labelled store through searchProx: label keywords intersect
+    without scoring, label-only token matches are unscorable (score 0,
+    prox -1, empty snippet) — pandas-identical."""
+    from pyspark.sql import functions as F
+
+    docs = load_documents(spark, SF_SMOKE).withColumn(
+        "labels", F.array(F.col("source"))
+    )
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    idx = build_index(docs, cfg, labels_col="labels")
+    bi = blocked_from_index(idx, doc_block_bits=6, packer="jvm")
+    jeng = BlockSearchEngine(bi)
+    peng = BlockSearchEngine(bi)
+    peng._make_jvm_prox_apply = lambda *a, **k: None
+
+    def rows(e, toks, labels=()):
+        return sorted(
+            (
+                r["doc_id"], np.float32(r["score"]), r["proximity"],
+                tuple(r["snippet_locs"] or ()),
+            )
+            for r in e.search_and(toks, labels=labels,
+                                  proximity=True).collect()
+        )
+
+    # src3 as a TOKEN: label-origin matches must be unscorable
+    got = rows(jeng, ["data", "src3"])
+    want = rows(peng, ["data", "src3"])
+    assert got == want
+    assert any(s == np.float32(0.0) for _d, s, _p, _l in got)
+    # src1 as a LABEL: candidates filter, content tokens still score+DP
+    got = rows(jeng, ["data", "query"], labels=["src1"])
+    want = rows(peng, ["data", "query"], labels=["src1"])
+    assert got == want
+    assert got
