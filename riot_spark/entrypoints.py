@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (delta+PFOR, offsets implied by tfs) — values must equal the
     # flat LocsIndex proximity query ft_proximity2
     q["ft_block_proximity2"] = _ft_block_proximity2
+    q["ft_block_snippet2"] = _ft_block_snippet2
     # block-path logic (must/should/notIn over packed doc-range groups)
     q["ft_block_logic"] = _ft_block_logic
     # block-path labels: is_label rows intersect but never score
@@ -408,6 +409,20 @@ def _ft_block_proximity2(spark, sf) -> DataFrame:
     eng = _block_engine(spark, sf)
     res = eng.search_and(["data", "query"], proximity=True)
     return res.select("doc_id", "proximity").orderBy("doc_id")
+
+
+def _ft_block_snippet2(spark, sf) -> DataFrame:
+    """Block-path TokenSnippetLocs (Q17) — the proximity DP backtrack
+    over PACKED positions (BlockQuery.scala::searchProx when the jar
+    is present, the pandas kernel otherwise); must equal the flat
+    engine's ft_snippet2 oracle."""
+    eng = _block_engine(spark, sf)
+    res = eng.search_and(["data", "query"], proximity=True)
+    return res.select(
+        "doc_id",
+        F.element_at("snippet_locs", 1).alias("loc1"),
+        F.element_at("snippet_locs", 2).alias("loc2"),
+    ).orderBy("doc_id")
 
 
 def _ft_block_logic(spark, sf) -> DataFrame:
@@ -1313,6 +1328,9 @@ SELECT doc_id, l1::INT AS loc1, l2::INT AS loc2 FROM (
   FROM pairs
 ) WHERE rn = 1 ORDER BY doc_id
 """
+    # block path must reproduce the SAME snippet backtrack from the
+    # packed positions (searchProx / the pandas block kernel)
+    o["ft_block_snippet2"] = o["ft_snippet2"]
     _del = ", ".join(str(i) for i in DELETE_IDS)
     o["ft_delete_requery"] = _bm25_sql(
         ["data", "query"], k=20,
