@@ -11,13 +11,16 @@ Two build paths:
 * ``tokenize_freq`` — frequencies only.  Pure JVM (split/explode/
   groupBy), whole-stage-codegen throughout; this is the hot path for
   FrequenciesIndex-mode builds at 100 TB.
-* ``tokenize_locs`` — adds byte positions via ONE vectorized
-  Arrow-batched pandas UDF (no per-row Python UDF), for LocsIndex mode
-  (proximity + snippet locations).  Measured 1.4M posting entries/s at
-  16 cores — an attempted pure-JVM variant (offsets via
-  aggregate(slice(words, 1, i))) ran 9x SLOWER because Spark
-  higher-order functions execute interpreted (no codegen) and slice()
-  copies the O(n^2) prefixes; Arrow + a tight Python loop wins.
+* ``tokenize_locs`` — adds byte positions, for LocsIndex mode
+  (proximity + snippet locations).  On sessions with riotspark.jar
+  the tokenizer runs inside the executor JVM
+  (riot_spark/jvm/Tokenize.scala — posting rows never exist
+  Python-side); jarless sessions keep the vectorized Arrow-batched
+  pandas kernel (no per-row Python UDF, ~1.4M entries/s at 16 cores).
+  An attempted Catalyst-expression variant (offsets via
+  aggregate(slice(words, 1, i))) ran 9x SLOWER than even the Arrow
+  kernel because Spark higher-order functions execute interpreted
+  (no codegen) and slice() copies the O(n^2) prefixes.
 """
 
 from __future__ import annotations
@@ -120,7 +123,35 @@ def tokenize_locs(
     """
     stop = stopwords  # captured by value in the closure, broadcast via pickle
     distinct_len = doc_len_mode == "distinct"
-    cols = documents.select("doc_id", F.col(text_col).alias("text"))
+    cols = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(text_col).cast("string").alias("text"),
+    )
+
+    # JVM twin (riot_spark/jvm/Tokenize.scala): tokenize inside the
+    # executor — posting rows never exist Python-side.  Differential-
+    # tested against the pandas path; sessions without riotspark.jar
+    # keep the Arrow kernel below.
+    spark = documents.sparkSession
+    try:
+        spark._jvm.java.lang.Class.forName("riotspark.Tokenize")
+        jdf = spark._jvm.riotspark.Tokenize.locs(
+            cols._jdf, sorted(stop), bool(distinct_len)
+        )
+        from pyspark.sql import DataFrame as _DF
+
+        return _DF(jdf, spark)
+    except Exception:
+        pass
+    return _tokenize_locs_pandas(cols, stop, distinct_len)
+
+
+def _tokenize_locs_pandas(
+    cols: DataFrame, stop: frozenset[str], distinct_len: bool
+) -> DataFrame:
+    """The Arrow-batched fallback kernel (and the canonical
+    tokenize_text contract holder) — kept for jarless sessions and as
+    the differential-test twin of riot_spark/jvm/Tokenize.scala."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -149,7 +180,10 @@ def tokenize_locs(
                     "doc_id": doc_ids,
                     "term": terms,
                     "tf": tfs,
-                    "positions": poss,
+                    # explicit object dtype: an all-empty batch would
+                    # otherwise infer float64, which Arrow cannot cast
+                    # to list<int32>
+                    "positions": pd.Series(poss, dtype=object),
                     "token_len": lens,
                 }
             )

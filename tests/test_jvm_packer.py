@@ -475,3 +475,57 @@ def test_jvm_prox_single_labels(spark):
     want = rows(peng, ["data", "query"], labels=["src1"])
     assert got == want
     assert got
+
+
+def test_jvm_tokenize_locs_identical(spark):
+    """The JVM LocsIndex tokenizer (Tokenize.scala) must produce the
+    exact posting set of the pandas kernel — distinct terms, byte
+    positions of every occurrence, tf, token_len — across multi-space
+    runs, leading/trailing spaces, UTF-8 multibyte words, stopwords
+    and both doc-length modes."""
+    from riot_spark.tokenizer import _tokenize_locs_pandas, tokenize_locs
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "data query data  gap"),
+            (1, " leading and trailing "),
+            (2, "naïve café 文字 文字 mix"),
+            (3, ""),
+            (4, "   "),
+            (5, "the of data the"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+
+    def rows(df):
+        return sorted(
+            (
+                r["doc_id"], r["term"], float(r["tf"]),
+                tuple(r["positions"]), float(r["token_len"]),
+            )
+            for r in df.collect()
+        )
+
+    for stops in (frozenset(), frozenset({"the", "of"})):
+        for mode in ("distinct", "occurrences"):
+            got = rows(tokenize_locs(docs, stopwords=stops,
+                                     doc_len_mode=mode))
+            cols = docs.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("text").cast("string").alias("text"),
+            )
+            want = rows(_tokenize_locs_pandas(
+                cols, stops, mode == "distinct"
+            ))
+            assert got == want, (stops, mode)
+            assert got, (stops, mode)
+    # real corpus: the full locs build must be posting-identical
+    docs = load_documents(spark, SF_SMOKE)
+    got = rows(tokenize_locs(docs))
+    cols = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").cast("string").alias("text"),
+    )
+    want = rows(_tokenize_locs_pandas(cols, frozenset(), True))
+    assert got == want
