@@ -151,13 +151,21 @@ def extract_text(html: bytes) -> str:
 
 
 def with_extracted_text(pages: DataFrame) -> DataFrame:
-    """pages(html) -> pages + text_extracted via vectorized pandas UDF."""
+    """pages(html) -> pages + text_extracted, Catalyst-only.
 
-    @F.pandas_udf(T.StringType())
-    def _extract(html: pd.Series) -> pd.Series:
-        return html.map(extract_text)
-
-    return pages.withColumn("text_extracted", _extract("html"))
+    ``(?s)<p>(.*)</p>`` with a greedy body reproduces
+    :func:`extract_text`'s find('<p>') / rfind('</p>') slice exactly —
+    first opening tag to LAST closing tag, '' when either is missing
+    or out of order — so extraction runs inside whole-stage codegen
+    instead of a pandas UDF.  extract_text stays the pure-Python spec
+    that tests and oracles call directly (byte-identity pinned in
+    tests/test_corpus.py)."""
+    return pages.withColumn(
+        "text_extracted",
+        F.regexp_extract(
+            F.col("html").cast("string"), r"(?s)<p>(.*)</p>", 1
+        ),
+    )
 
 
 def pages_to_documents(pages: DataFrame, n_parts: int | None = None) -> DataFrame:

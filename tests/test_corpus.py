@@ -57,3 +57,33 @@ def test_pages_to_documents_follows_url_order(spark):
     assert [u for _, u in by_id] == urls_sorted
     rows2 = pages_to_documents(generate_pages(spark, 120), n_parts=7).collect()
     assert sorted((r["doc_id"], r["url"]) for r in rows2) == by_id
+
+
+def test_extract_text_catalyst_edge_parity(spark):
+    """The Catalyst regexp extraction must equal the pure-Python spec
+    on every tag arrangement: missing/unclosed/reversed tags, multiple
+    paragraphs (first open -> LAST close), empty body, multibyte
+    UTF-8, embedded newlines (DOTALL)."""
+    from riot_spark.sources.corpus import extract_text, with_extracted_text
+
+    cases = [
+        b"<html><p>hello world</p></html>",
+        b"no tags at all",
+        b"<p>unclosed",
+        b"closed</p> only",
+        b"</p>reversed<p>",
+        b"<p>a</p> mid <p>b</p>",
+        b"<p></p>",
+        "<p>uni é文字</p>".encode(),
+        b"<p>multi\nline\n</p>",
+        b"",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i LONG, html BINARY"
+    )
+    got = {
+        r["i"]: r["text_extracted"]
+        for r in with_extracted_text(df).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == extract_text(c), (i, c)
