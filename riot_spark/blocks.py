@@ -508,6 +508,10 @@ class BlockSearchEngine:
 
     def __init__(self, bindex: BlockedIndex):
         self.bi = bindex
+        # DataFrames persisted by the batched WAND pass: they must
+        # outlive search_batch (the returned DF references them
+        # lazily), so each new batch releases the previous batch's
+        self._scratch: list[DataFrame] = []
 
     # WAND's bound walk trades 2-3 extra sequential Spark jobs
     # (~0.3-0.6 s of scheduling latency) for skipped posting decodes.
@@ -754,6 +758,250 @@ class BlockSearchEngine:
             return pd.concat(outs, ignore_index=True)
 
         return matched.groupBy("block_id").applyInPandas(dispatch, out_schema)
+
+    def _kernel_and_batch(
+        self,
+        matched: DataFrame,
+        qmeta: list[tuple],
+        qsets: dict[str, set],
+        dfs: dict[str, int],
+        double_scores: bool,
+    ) -> DataFrame:
+        """One decode-once batch AND pass: the JVM kernel when the jar
+        is present (float32 mode only), else the pandas dispatcher."""
+        scored = (
+            None
+            if double_scores  # JVM kernel is float32-only
+            else self._jvm_and_batch(matched, qmeta, dfs)
+        )
+        if scored is None:
+            scored = self._pandas_and_batch(
+                matched, qmeta, qsets, dfs, double_scores
+            )
+        return scored
+
+    def _wand_batch_eligible(
+        self, qm: tuple, mrow: tuple, dfs: dict[str, int]
+    ) -> bool:
+        """Gate a batched query into the WAND-pruned pass: top-k
+        requested, forward order (block-max bounds say nothing about
+        the LOWEST scores ReverseOrder wants), no whitelist (the
+        whitelist already caps the candidate set), and enough postings
+        for pruning to beat the decode-everything pass — the batch
+        crossover sits far above the single-query one (see
+        WAND_BATCH_MIN_POSTINGS below)."""
+        qid, tokens, keywords, wl = qm
+        _, k, _qoffset, rev = mrow
+        return (
+            k > 0
+            and not rev
+            and wl is None
+            and sum(dfs[t] for t in keywords) >= self.WAND_BATCH_MIN_POSTINGS
+        )
+
+    # batch crossover, measured (BENCH.md round-3 soak): with the
+    # block cache in executor memory the decode-everything batch pass
+    # beats the pruned plan up to at least sum-df 2M (the bounds
+    # build + skew probe alone cost ~1s of scheduling), so the batch
+    # gate sits an order of magnitude above the single-query one.
+    # The pruned plan is for the disk-resident index shape where
+    # phase-2's block pruning skips real I/O.
+    WAND_BATCH_MIN_POSTINGS = 5_000_000
+
+    # a query's bound distribution must be STRONGLY skewed for
+    # block-max WAND to prune anything: the kth actual score lands
+    # near the top of the bound distribution, so unless a large
+    # fraction of ranges bound WELL under the max, phase 2 keeps
+    # nearly everything and the two-phase plan just decodes (and
+    # scans) everything twice.  The probe therefore demands the 90th
+    # PERCENTILE bound sit under FLAT * max — i.e. at least ~10% of
+    # ranges must be clearly dominated before pruning is even
+    # plausible.  Both knobs are instance-overridable (tests force
+    # them open).
+    WAND_FLAT = 0.95  # p90 >= FLAT * max  =>  unprunable
+    WAND_MIN_RANGES = 128  # fewer ranges: single pass is cheaper
+
+    def _wand_and_batch(
+        self,
+        qmeta: list[tuple],
+        meta_by_qid: dict[str, tuple],
+        qsets: dict[str, set],
+        dfs: dict[str, int],
+        double_scores: bool,
+    ) -> tuple[DataFrame | None, set[str]]:
+        """Batched block-max WAND — per-query pruning INSIDE the batch
+        executor (beyond-reference; the batch analogue of
+        :meth:`_wand_topk`'s threshold mode).
+
+        Phase 0 computes a bounds table per (query_id, block_id) from
+        block metadata only (norm_max · idf summed over the query's
+        terms; ranges missing a term are AND-pruned) — 1 row per
+        2^doc_block_bits docs per term, never the postings themselves.
+        A skew probe over that table then routes each query: flat
+        bound distributions (synthetic-uniform corpora, stopword
+        conjunctions over large blocks) cannot be pruned by ANY
+        block-max scheme, so those queries return to the caller's
+        single decode-everything pass having spent two metadata jobs,
+        not a kernel pass.  Phase 1 scores the top-C ranges of every
+        surviving query in ONE decode-once kernel pass and collects
+        each query's (offset+k)th actual score (τ) — capped by the
+        shuffle-free partial top-k before the τ window, so a hot
+        query's phase-1 candidates never funnel through one reducer.
+        Phase 2 scores, again as one shared pass, only the ranges
+        whose bound could still beat τ.
+
+        Exactness: a range's bound dominates every score inside it, so
+        for query q any range outside phase 1 ∪ phase 2 satisfies
+        bound < (τ_q − eps)/(1 + eps) where τ_q (the kth of a score
+        SUBSET) never exceeds the true kth — no top-(offset+k) doc is
+        lost.  Phase 2 excludes ALL phase-1 ranges, so no (query, doc)
+        row duplicates.  Scoring a query in a range selected for a
+        different query only adds true candidates below its own
+        cutoff — harmless to the final rank slice.  In double_scores
+        mode an extra 1e-4 slack keeps docs that could round into a
+        tie at the caller's 4-decimal rounding.  Differential-tested
+        rank-identical to the unpruned batch pass.
+
+        Returns (scored DataFrame or None, qids routed back to the
+        plain pass).  Scale shape: the bounds table is metadata
+        (2^doc_block_bits× smaller than postings) aggregated
+        distributed; both kernel passes stay decode-once per block;
+        only (query_id, block_id) longs and final candidate rows ever
+        move."""
+        import math as _m
+
+        from pyspark.sql.window import Window
+
+        from riot_spark.query import SearchEngine
+
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        m_by_qid: dict[str, int] = {}
+        eps_by_qid: dict[str, float] = {}
+        qterm_rows: list[tuple] = []
+        for qid, tokens, keywords, _wl in qmeta:
+            _, k, qoffset, _rev = meta_by_qid[qid]
+            m_by_qid[qid] = int(k) + int(qoffset)
+            idf = {t: _m.log2(bi.n_docs / dfs[t] + 1.0) for t in tokens}
+            kw_set = set(keywords)
+            for t in kw_set:
+                qterm_rows.append((qid, t, float(idf.get(t, 0.0)), len(kw_set)))
+            eps_by_qid[qid] = max(1.0, float(len(tokens))) * 2.0**-20
+        all_terms = sorted({r[1] for r in qterm_rows})
+        matched = bi.blocks.where(F.col("term").isin(all_terms))
+        qterms = spark.createDataFrame(
+            qterm_rows, "query_id STRING, term STRING, idf DOUBLE, n_kw INT"
+        )
+        # label rows pack norm_max = 0, so the when() guard only
+        # matters for a term present BOTH ways in a range; label-only
+        # query terms carry idf 0 (they intersect, never score)
+        bounds = (
+            matched.select("term", "block_id", "is_label", "norm_max")
+            .join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "block_id")
+            .agg(
+                F.countDistinct("term").alias("nt"),
+                F.sum(
+                    F.when(
+                        ~F.col("is_label"), F.col("idf") * F.col("norm_max")
+                    ).otherwise(F.lit(0.0))
+                ).alias("bound"),
+                F.first("n_kw").alias("n_kw"),
+            )
+            .where(F.col("nt") == F.col("n_kw"))
+            .select("query_id", "block_id", "bound")
+            .persist()
+        )
+        self._scratch.append(bounds)
+        chunk = max(8, min(64, max(m_by_qid.values())))
+        # skew probe: one distributed agg over metadata decides, per
+        # query, whether pruning can possibly pay
+        probe = (
+            bounds.groupBy("query_id")
+            .agg(
+                F.max("bound").alias("mx"),
+                F.percentile_approx("bound", 0.9).alias("p90"),
+                F.count(F.lit(1)).alias("nr"),
+            )
+            .collect()
+        )
+        prunable = {
+            r["query_id"]
+            for r in probe
+            if r["nr"] >= self.WAND_MIN_RANGES
+            and r["p90"] < self.WAND_FLAT * r["mx"]
+        }
+        fallback = {qid for qid in m_by_qid if qid not in prunable}
+        # queries with zero bound rows have NO range holding every
+        # term => provably empty either way; drop them from fallback
+        fallback &= {r["query_id"] for r in probe}
+        if not prunable:
+            bounds.unpersist()
+            self._scratch.remove(bounds)
+            return None, fallback
+        qmeta = [qm for qm in qmeta if qm[0] in prunable]
+        m_by_qid = {q: m for q, m in m_by_qid.items() if q in prunable}
+        bounds = bounds.where(
+            F.col("query_id").isin(sorted(prunable))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("bound"), F.asc("block_id")
+        )
+        blocks1 = (
+            bounds.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= chunk)
+            .select("block_id")
+            .distinct()
+        )
+        score1 = self._kernel_and_batch(
+            matched.join(F.broadcast(blocks1), "block_id", "left_semi"),
+            qmeta, qsets, dfs, double_scores,
+        ).persist()
+        self._scratch.append(score1)
+        mdf = spark.createDataFrame(
+            list(m_by_qid.items()), "query_id STRING, m INT"
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        kth = (
+            SearchEngine._partial_topk(
+                score1.join(F.broadcast(mdf), "query_id")
+                .withColumn("k", F.col("m"))
+                .withColumn("qoffset", F.lit(0))
+            )
+            .withColumn("r", F.row_number().over(wq))
+            .where(F.col("r") == F.col("m"))
+            .select("query_id", "score")
+            .collect()
+        )
+        taus = {r["query_id"]: float(r["score"]) for r in kth}
+        round_slack = 1e-4 if double_scores else 0.0
+        cut_rows = [
+            (
+                qid,
+                (taus[qid] - round_slack - eps_by_qid[qid])
+                / (1.0 + eps_by_qid[qid])
+                if qid in taus
+                # fewer than offset+k candidates scored: every
+                # remaining range must be scored (no valid threshold)
+                else -1e300,
+            )
+            for qid in m_by_qid
+        ]
+        cuts = spark.createDataFrame(cut_rows, "query_id STRING, cutoff DOUBLE")
+        blocks2 = (
+            bounds.join(blocks1, "block_id", "left_anti")
+            .join(F.broadcast(cuts), "query_id")
+            .where(F.col("bound") >= F.col("cutoff"))
+            .select("block_id")
+            .distinct()
+        )
+        score2 = self._kernel_and_batch(
+            matched.join(blocks2, "block_id", "left_semi"),
+            qmeta, qsets, dfs, double_scores,
+        )
+        return score1.unionByName(score2), fallback
 
     @staticmethod
     def _decode_ids(row) -> np.ndarray:
@@ -1221,6 +1469,11 @@ class BlockSearchEngine:
 
         bi = self.bi
         spark = bi.blocks.sparkSession
+        # a NEW batch invalidates the previous batch's WAND scratch
+        # (its returned DF has been consumed or abandoned by now)
+        for df in self._scratch:
+            df.unpersist()
+        self._scratch = []
         score_type = "DOUBLE" if double_scores else "FLOAT"
         and_q: dict[str, SearchRequest] = {}
         prox_q: dict[str, SearchRequest] = {}
@@ -1290,17 +1543,49 @@ class BlockSearchEngine:
                      bool(req.reverse_order))
                 )
             if qmeta:
-                all_q_terms = sorted(set().union(*qsets.values()))
-                matched = bi.blocks.where(F.col("term").isin(all_q_terms))
-                scored = (
-                    None
-                    if double_scores  # JVM kernel is float32-only
-                    else self._jvm_and_batch(matched, qmeta, dfs)
-                )
-                if scored is None:
-                    scored = self._pandas_and_batch(
-                        matched, qmeta, qsets, dfs, double_scores
+                meta_by_qid = {m[0]: m for m in meta_rows}
+                wand_meta = [
+                    qm
+                    for qm in qmeta
+                    if self._wand_batch_eligible(qm, meta_by_qid[qm[0]], dfs)
+                ]
+                wand_ids = {qm[0] for qm in wand_meta}
+                rest_meta = [qm for qm in qmeta if qm[0] not in wand_ids]
+                scored_parts: list[DataFrame] = []
+                if wand_meta:
+                    wand_scored, fallback = self._wand_and_batch(
+                        wand_meta, meta_by_qid, qsets, dfs, double_scores
                     )
+                    if wand_scored is not None:
+                        scored_parts.append(wand_scored)
+                    if fallback:
+                        # skew probe said unprunable: one plain pass
+                        rest_meta += [
+                            qm for qm in wand_meta if qm[0] in fallback
+                        ]
+                if rest_meta:
+                    rest_terms = sorted(
+                        set().union(*(qsets[qm[0]] for qm in rest_meta))
+                    )
+                    scored_parts.append(
+                        self._kernel_and_batch(
+                            bi.blocks.where(F.col("term").isin(rest_terms)),
+                            rest_meta, qsets, dfs, double_scores,
+                        )
+                    )
+                scored = (
+                    scored_parts[0]
+                    if scored_parts
+                    # every query provably empty (no range holds all
+                    # of any query's terms)
+                    else spark.createDataFrame(
+                        [],
+                        "query_id STRING, doc_id LONG, score "
+                        + ("DOUBLE" if double_scores else "FLOAT"),
+                    )
+                )
+                for sdf in scored_parts[1:]:
+                    scored = scored.unionByName(sdf)
                 meta = spark.createDataFrame(
                     meta_rows, "query_id STRING, k INT, qoffset INT, rev BOOLEAN"
                 )
@@ -1703,6 +1988,26 @@ class BlockSearchEngine:
             .cache()
         )
         out_schema = "doc_id LONG, score FLOAT"
+        if deadline is None:
+            # skew probe (shared with the batch path): a flat bound
+            # distribution cannot be pruned by ANY block-max scheme —
+            # the walk would score everything anyway, in more jobs.
+            # The budgeted walk skips this: its partial-result contract
+            # needs bound-ordered increments regardless of payoff.
+            pr = meta_df.agg(
+                F.max("bound").alias("mx"),
+                F.percentile_approx("bound", 0.9).alias("p90"),
+                F.count(F.lit(1)).alias("nr"),
+            ).first()
+            if pr["nr"] == 0:
+                meta_df.unpersist()
+                return spark.createDataFrame([], out_schema), False
+            if (
+                pr["nr"] < self.WAND_MIN_RANGES
+                or pr["p90"] >= self.WAND_FLAT * pr["mx"]
+            ):
+                meta_df.unpersist()
+                return None, False
         # float32 rounding margin for the termination test: the kernel
         # accumulates ~n_tok float32 adds, each <= 0.5 ulp (2**-24)
         # relative, so worst-case drift grows with the term count;

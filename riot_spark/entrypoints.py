@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the same batch executor on the packed block layout — the QPS
     # story on the index that exists at 100 TB
     q["ft_block_batch_topk"] = _ft_block_batch_topk
+    q["ft_block_batch_wand"] = _ft_block_batch_wand
     q["ft_block_batch_logic"] = _ft_block_batch_logic
     # block-path request-shape parity: whitelist / offset /
     # ReverseOrder / CountDocsOnly / orderless on the packed layout
@@ -491,6 +492,27 @@ def _ft_block_batch_topk(spark, sf) -> DataFrame:
     BlockSearchEngine.search_batch — one keyed Arrow kernel pass over
     the blocks, scored in float64 for oracle parity."""
     eng = _block_engine(spark, sf)
+    reqs = {
+        qid: SearchRequest(tokens=terms, max_outputs=k, offset=off)
+        for qid, terms, k, off in BATCH_QUERIES
+    }
+    res = eng.search_batch(reqs, double_scores=True)
+    return res.select(
+        "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _ft_block_batch_wand(spark, sf) -> DataFrame:
+    """The batched block-max WAND pass (per-query pruning INSIDE the
+    batch executor) against the same oracle as ft_block_batch_topk:
+    the df gate is forced open so every top-k query takes the
+    two-phase bounds-then-threshold plan — at sf0.01 dfs are far below
+    the production WAND_MIN_POSTINGS crossover, but the pruned plan
+    must stay rank- and score-identical at ANY scale."""
+    eng = _block_engine(spark, sf)  # fresh instance per call
+    eng.WAND_BATCH_MIN_POSTINGS = 0
+    eng.WAND_MIN_RANGES = 0  # sf0.01 has few doc ranges
+    eng.WAND_FLAT = 2.0  # force past the skew probe
     reqs = {
         qid: SearchRequest(tokens=terms, max_outputs=k, offset=off)
         for qid, terms, k, off in BATCH_QUERIES
@@ -1171,6 +1193,7 @@ WITH {_TOKS_CTE}
 {" UNION ALL ".join(_bm25_rank_sql(qid, terms, k, off) for qid, terms, k, off in BATCH_QUERIES)}
 """
     o["ft_block_batch_topk"] = o["ft_batch_topk"]
+    o["ft_block_batch_wand"] = o["ft_batch_topk"]
     o["ft_block_whitelist"] = _bm25_sql(["data"], k=10, whitelist=WL)
     o["ft_block_offset_limit"] = _bm25_sql(["data", "query"], k=5, offset=5)
     o["ft_hydrated"] = f"""

@@ -241,6 +241,8 @@ def test_wand_topk_exact(bindex, toks, k):
     top-k (same docs, scores, order)."""
     eng = BlockSearchEngine(bindex)
     eng.WAND_MIN_POSTINGS = 0  # smoke corpus is below the df gate
+    eng.WAND_MIN_RANGES = 0  # ~8 ranges: force past the skew probe
+    eng.WAND_FLAT = 2.0
     pruned = eng.search_and(toks, k=k).collect()
     full = (
         eng.search_and(toks, k=0)
@@ -266,6 +268,8 @@ def test_wand_threshold_mode_exact_fewer_jobs(spark, bindex, toks, k):
     — constant ~4 jobs regardless of how many chunks the walk needs."""
     eng = BlockSearchEngine(bindex)
     eng.WAND_MIN_POSTINGS = 0  # smoke corpus is below the df gate
+    eng.WAND_MIN_RANGES = 0  # ~8 ranges: force past the skew probe
+    eng.WAND_FLAT = 2.0
 
     def run(mode, group):
         sc = spark.sparkContext
@@ -294,6 +298,8 @@ def test_wand_df_gate_single_pass(spark, bindex):
     gated = BlockSearchEngine(bindex)  # class default: gate engaged
     forced = BlockSearchEngine(bindex)
     forced.WAND_MIN_POSTINGS = 0
+    forced.WAND_MIN_RANGES = 0
+    forced.WAND_FLAT = 2.0
 
     def run(eng, group):
         sc = spark.sparkContext
@@ -562,3 +568,99 @@ def test_block_batch_proximity_criteria(locs_sf_index, locs_bindex):
             [r["score"] for r in g[qid]], [r["score"] for r in w[qid]],
             rtol=1e-5, atol=1e-6, err_msg=qid,
         )
+
+
+def test_wand_batch_matches_unpruned(sf_index, bindex):
+    """Batched block-max WAND (search_batch with the per-query gate
+    forced open) is rank- and score-identical to the decode-everything
+    batch pass, across mixed shapes: top-k, offset, a term pair, a
+    single hot term, plus co-batched shapes the WAND gate must route
+    around (ReverseOrder, whitelist, unlimited, logic, count)."""
+    wl_ids = list(range(0, 100, 2))
+    reqs = {
+        "hot1": SearchRequest(text="data", max_outputs=10),
+        "and2": SearchRequest(text="data query", max_outputs=10),
+        "off": SearchRequest(text="batch", max_outputs=5, offset=3),
+        "rev": SearchRequest(text="data query", max_outputs=10,
+                             reverse_order=True),
+        "wl": SearchRequest(text="data", doc_ids=wl_ids, max_outputs=10),
+        "all": SearchRequest(text="group order"),  # k=0: not eligible
+        "logic": SearchRequest(must=["data"], should=["query"],
+                               not_in=["dup"], max_outputs=8),
+        "count": SearchRequest(text="data query", count_docs_only=True),
+        # more candidates than offset+k exist is the pruning case; a
+        # query where they don't (k > n matches) exercises the no-tau
+        # branch (cutoff -inf => phase 2 scores every remaining range)
+        "tiny": SearchRequest(text="group", max_outputs=500),
+    }
+    plain = BlockSearchEngine(bindex)
+    pruned = BlockSearchEngine(bindex)
+    pruned.WAND_BATCH_MIN_POSTINGS = 0  # every eligible query takes WAND
+    pruned.WAND_MIN_RANGES = 0  # smoke corpus has ~8 ranges
+    pruned.WAND_FLAT = 2.0  # force past the skew probe
+    want = plain.search_batch(reqs).collect()
+    got = pruned.search_batch(reqs).collect()
+    assert pruned._scratch, "WAND pass engaged (scratch persisted)"
+
+    def by_qid(rows):
+        out: dict[str, list] = {}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"],
+                                             r["doc_id"] or -1)):
+            out.setdefault(r["query_id"], []).append(r)
+        return out
+
+    g, w = by_qid(got), by_qid(want)
+    assert set(g) == set(w)
+    for qid in w:
+        assert [(r["doc_id"], r["rank"]) for r in g[qid]] == [
+            (r["doc_id"], r["rank"]) for r in w[qid]
+        ], qid
+        np.testing.assert_allclose(
+            [r["score"] for r in g[qid]], [r["score"] for r in w[qid]],
+            rtol=1e-6, atol=1e-7, err_msg=qid,
+        )
+    # a fresh batch releases the previous batch's scratch
+    pruned.search_batch({"q": SearchRequest(text="data", max_outputs=3)})
+    assert len(pruned._scratch) == 2  # the new batch's bounds + score1
+
+
+def test_wand_batch_double_scores(sf_index, bindex):
+    """The float64-oracle mode (double_scores) takes the same WAND
+    pass through the pandas kernel and stays identical under the
+    caller's 4-decimal rounding."""
+    reqs = {
+        "hot1": SearchRequest(text="data", max_outputs=15),
+        "and2": SearchRequest(text="data query", max_outputs=10, offset=2),
+    }
+    plain = BlockSearchEngine(bindex)
+    pruned = BlockSearchEngine(bindex)
+    pruned.WAND_BATCH_MIN_POSTINGS = 0
+    pruned.WAND_MIN_RANGES = 0
+    pruned.WAND_FLAT = 2.0
+    want = plain.search_batch(reqs, double_scores=True).collect()
+    got = pruned.search_batch(reqs, double_scores=True).collect()
+    assert pruned._scratch
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(((r["query_id"], r["rank"], r["doc_id"], r["score"])
+                   for r in got)) == sorted(
+        ((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in want)
+    )
+
+
+def test_wand_batch_probe_fallback(sf_index, bindex):
+    """On a corpus whose bound distribution the skew probe rejects
+    (smoke corpus: few ranges, near-uniform bounds), a WAND-eligible
+    batch routes back to the single unpruned pass — identical rows,
+    and no kernel scratch left persisted (only metadata jobs spent)."""
+    reqs = {
+        "h": SearchRequest(text="data", max_outputs=10),
+        "a": SearchRequest(text="data query", max_outputs=10),
+    }
+    plain = BlockSearchEngine(bindex)
+    probed = BlockSearchEngine(bindex)
+    probed.WAND_BATCH_MIN_POSTINGS = 0  # df gate open; probe decides
+    want = plain.search_batch(reqs).collect()
+    got = probed.search_batch(reqs).collect()
+    assert not probed._scratch, "probe declined: no persisted phases"
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
