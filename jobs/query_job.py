@@ -42,21 +42,32 @@ def main(argv: list[str]) -> int:
     spark = SparkSession.builder.appName("riot_spark_query").getOrCreate()
     from riot_spark.blocks import BlockSearchEngine, read_blocked_index
 
+    from riot_spark.query import SearchRequest
+
     bindex = read_blocked_index(spark, args.index)
     eng = BlockSearchEngine(bindex)
-    rows = []
-    for qi, qtext in enumerate(args.query):
-        toks = [t for t in qtext.lower().split(" ") if t]
-        res = eng.search_and(toks, k=args.k).collect()
-        for rank, r in enumerate(res, 1):
-            rows.append((f"q{qi}", int(r["doc_id"]), float(r["score"]), rank))
+    reqs = {
+        f"q{qi}": SearchRequest(
+            tokens=[t for t in qtext.lower().split(" ") if t],
+            max_outputs=args.k,
+        )
+        for qi, qtext in enumerate(args.query)
+    }
+    res = eng.search_batch(reqs)  # ONE action for the whole query set
     if args.output:
-        spark.createDataFrame(
-            rows, "query_id STRING, doc_id LONG, score DOUBLE, rank INT"
-        ).write.mode("overwrite").parquet(args.output)
+        res.write.mode("overwrite").parquet(args.output)
     else:
-        for row in rows:
-            print(json.dumps(dict(zip(("query_id", "doc_id", "score", "rank"), row))))
+        for r in res.orderBy("query_id", "rank").collect():
+            print(
+                json.dumps(
+                    {
+                        "query_id": r["query_id"],
+                        "doc_id": int(r["doc_id"]),
+                        "score": float(r["score"]),
+                        "rank": int(r["rank"]),
+                    }
+                )
+            )
     return 0
 
 

@@ -140,9 +140,17 @@ def block_engine(engines):
 
     eng, _ = engines
     beng = BlockSearchEngine(blocked_from_index(eng.index, doc_block_bits=5))
-    # the tiny property corpus is far below the df gate; force the
-    # WAND path so the pruned walk stays under random-query fire
+    # the tiny property corpus is far below the df gates and its flat
+    # bounds would fail the skew probe; force every gate open so BOTH
+    # pruned walks (single-query _wand_topk and the batched
+    # _wand_and_batch phases) stay under random-query fire — the
+    # unpruned pass keeps its own coverage via the ineligible shapes
+    # (rev/whitelist/count/orderless/logic) and test_blocks.py's
+    # default-gated engines
     beng.WAND_MIN_POSTINGS = 0
+    beng.WAND_BATCH_MIN_POSTINGS = 0
+    beng.WAND_MIN_RANGES = 0
+    beng.WAND_FLAT = 2.0
     return beng
 
 
