@@ -954,7 +954,7 @@ class BlockSearchEngine:
             .distinct()
         )
         score1 = self._kernel_and_batch(
-            matched.join(F.broadcast(blocks1), "block_id", "left_semi"),
+            self._select_blocks(matched, blocks1),
             qmeta, qsets, dfs, double_scores,
         ).persist()
         self._scratch.append(score1)
@@ -998,10 +998,26 @@ class BlockSearchEngine:
             .distinct()
         )
         score2 = self._kernel_and_batch(
-            matched.join(blocks2, "block_id", "left_semi"),
+            self._select_blocks(matched, blocks2),
             qmeta, qsets, dfs, double_scores,
         )
         return score1.unionByName(score2), fallback
+
+    # scan-pushdown cap for a WAND phase's selected range-id set: at
+    # or below this size the ids are collected and applied as an In()
+    # predicate, which REACHES THE SCAN (parquet row-group pruning on
+    # the block_id stats / in-memory batch stats) — a disk-resident
+    # store then never reads the pruned ranges' bytes.  Above the cap
+    # the selection stays a left-semi join: only ids move, the packed
+    # bytes never shuffle, but every row group is still read.
+    WAND_PUSHDOWN_IDS = 4096
+
+    def _select_blocks(self, matched: DataFrame, sel: DataFrame) -> DataFrame:
+        rows = sel.limit(self.WAND_PUSHDOWN_IDS + 1).collect()
+        if len(rows) <= self.WAND_PUSHDOWN_IDS:
+            ids = sorted(int(r["block_id"]) for r in rows)
+            return matched.where(F.col("block_id").isin(ids))
+        return matched.join(F.broadcast(sel), "block_id", "left_semi")
 
     @staticmethod
     def _decode_ids(row) -> np.ndarray:
@@ -2072,7 +2088,9 @@ class BlockSearchEngine:
                         & ~F.col("block_id").isin(done_ids)
                     ).select("block_id")
                     more = (
-                        apply_and(matched.join(rest, "block_id"))
+                        # isin when small so the selection reaches the
+                        # scan (row-group pruning on a persisted store)
+                        apply_and(self._select_blocks(matched, rest))
                         .orderBy(F.desc("score"), F.asc("doc_id"))
                         .limit(k)
                         .collect()

@@ -664,3 +664,30 @@ def test_wand_batch_probe_fallback(sf_index, bindex):
     assert not probed._scratch, "probe declined: no persisted phases"
     key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_wand_pushdown_reaches_parquet_scan(tmp_path, spark, sf_index, bindex):
+    """A WAND phase's small range selection must reach the parquet
+    scan as a pushed In(block_id) filter on a persisted store — the
+    property that makes pruned ranges bytes that are NEVER READ on a
+    disk-resident index (above WAND_PUSHDOWN_IDS it degrades to a
+    left-semi join: ids move, packed bytes don't, but row groups are
+    still read)."""
+    path = str(tmp_path / "pushdown_bidx")
+    write_blocked_index(bindex, path, input_paths=[], config_repr="pd")
+    bi = read_blocked_index(spark, path)  # raw parquet read, no cache
+    eng = BlockSearchEngine(bi)
+    matched = bi.blocks.where(F.col("term").isin(["data", "query"]))
+    sel = (
+        bi.blocks.where(F.col("term") == "data")
+        .select("block_id").distinct().limit(3)
+    )
+    picked = eng._select_blocks(matched, sel)
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    assert "In(block_id" in plan, plan[:2000]
+    # above the cap: selection stays a join (no pushed In filter)
+    eng.WAND_PUSHDOWN_IDS = 0
+    joined = eng._select_blocks(matched, sel)
+    plan2 = joined._jdf.queryExecution().executedPlan().toString()
+    assert "In(block_id" not in plan2, plan2[:2000]
+    assert picked.count() == joined.count()
