@@ -495,6 +495,164 @@ def blocked_from_index(
     return bi
 
 
+def merge_blocked_indexes(
+    base: BlockedIndex, delta: BlockedIndex, cache: bool = True
+) -> BlockedIndex:
+    """LSM-style incremental maintenance: append a DELTA block store
+    (newly crawled docs, packed on their own) to a BASE store without
+    touching the base's packed bytes — index-update cost is
+    O(new data), never O(corpus), the property that makes a 10^12-doc
+    index maintainable (riot's incremental AddDocs,
+    core/indexer.go:116-366, re-expressed at the block level).
+
+    Contract (asserted): every delta doc id EXCEEDS the base's maximum
+    — the dense-append id assignment of a growing corpus
+    (pages_to_documents).  Doc-range blocks of the two stores are then
+    disjoint except for AT MOST ONE boundary range (the base's tail
+    block), whose per-term rows are the only bytes repacked: base and
+    delta postings concatenate in id order inside a tiny keyed kernel.
+    Everything else is a column-level UNION.
+
+    Statistics: N adds, avgdl re-weights, per-term df sums (one
+    agg over the union of the two term tables).  The stored
+    `norm_max` WAND metadata was computed against each side's own
+    avgdl; under the merged avgdl a norm can only grow by the factor
+    avgdl_merged/avgdl_side (monotone in dl/avgdl), so each side's
+    norm_max scales by max(1, that factor) — bounds stay a provable
+    upper bound (slightly looser, never wrong), and WAND on the merged
+    store remains exact (differential-tested)."""
+    if base.has_positions != delta.has_positions:
+        raise ValueError("cannot merge LocsIndex and FrequenciesIndex stores")
+    if base.params != delta.params:
+        raise ValueError("BM25 parameters differ between the stores")
+    brow = base.blocks.agg(F.max("last_doc_id").alias("mx")).first()
+    drow = delta.blocks.agg(F.min("first_doc_id").alias("mn")).first()
+    if drow["mn"] is None:
+        return base
+    if brow["mx"] is None:
+        return delta
+    base_max, delta_min = int(brow["mx"]), int(drow["mn"])
+    if delta_min <= base_max:
+        raise ValueError(
+            f"delta doc ids must all exceed the base's maximum "
+            f"({delta_min} <= {base_max}) — merge is append-only"
+        )
+    n_docs = base.n_docs + delta.n_docs
+    avgdl = (
+        base.avgdl * base.n_docs + delta.avgdl * delta.n_docs
+    ) / n_docs
+    f_base = max(1.0, avgdl / base.avgdl) if base.avgdl else 1.0
+    f_delta = max(1.0, avgdl / delta.avgdl) if delta.avgdl else 1.0
+
+    def _scaled(df: DataFrame, f: float, side: int) -> DataFrame:
+        return df.withColumn(
+            "norm_max",
+            (F.col("norm_max").cast("double") * F.lit(f)).cast("float"),
+        ).withColumn("side", F.lit(side))
+
+    ub = _scaled(base.blocks, f_base, 0)
+    ud = _scaled(delta.blocks, f_delta, 1)
+    # at most one shared doc range exists (the base's tail block);
+    # detected from metadata, never assumed from doc_block_bits
+    shared = [
+        int(r["block_id"])
+        for r in ub.select("block_id")
+        .distinct()
+        .intersect(ud.select("block_id").distinct())
+        .collect()
+    ]
+    if len(shared) > 1:
+        raise AssertionError(
+            f"append-only stores share {len(shared)} doc ranges; "
+            "expected at most the base's tail block"
+        )
+    union = ub.unionByName(ud)
+    if shared:
+        plain = union.where(~F.col("block_id").isin(shared)).drop("side")
+        bnd = union.where(F.col("block_id").isin(shared))
+        locs = base.has_positions
+
+        def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("side")
+            if len(pdf) == 1:
+                return pdf.drop(columns=["side"])
+            a, b = pdf.iloc[0], pdf.iloc[1]
+            ids = np.concatenate(
+                [delta_decode(bytes(a["doc_ids"])), delta_decode(bytes(b["doc_ids"]))]
+            )
+            tfs = np.concatenate(
+                [
+                    unpack_ints_as_floats(bytes(a["tfs"])),
+                    unpack_ints_as_floats(bytes(b["tfs"])),
+                ]
+            )
+            lens = np.concatenate(
+                [
+                    unpack_ints_as_floats(bytes(a["token_lens"])),
+                    unpack_ints_as_floats(bytes(b["token_lens"])),
+                ]
+            )
+            if locs and not bool(a["is_label"]):
+                flat_a, off_a = unpack_position_lists(
+                    bytes(a["positions"]), tfs[: int(a["n"])].astype(np.int64)
+                )
+                flat_b, off_b = unpack_position_lists(
+                    bytes(b["positions"]), tfs[int(a["n"]):].astype(np.int64)
+                )
+                counts_a = tfs[: int(a["n"])].astype(np.int64)
+                counts_b = tfs[int(a["n"]):].astype(np.int64)
+                lists = [
+                    flat_a[off_a[i]: off_a[i] + counts_a[i]]
+                    for i in range(int(a["n"]))
+                ] + [
+                    flat_b[off_b[i]: off_b[i] + counts_b[i]]
+                    for i in range(int(b["n"]))
+                ]
+                positions = pack_position_lists(lists)
+            else:
+                positions = a["positions"] if not locs or bool(a["is_label"]) else None
+            return pd.DataFrame(
+                {
+                    "term": [a["term"]],
+                    "block_id": np.array([a["block_id"]], np.int64),
+                    "is_label": [bool(a["is_label"])],
+                    "n": np.array([len(ids)], np.int32),
+                    "first_doc_id": np.array([ids[0]], np.int64),
+                    "last_doc_id": np.array([ids[-1]], np.int64),
+                    "doc_ids": [delta_encode(ids)],
+                    "tfs": [pack_floats_as_ints(tfs)],
+                    "token_lens": [pack_floats_as_ints(lens)],
+                    "positions": [positions],
+                    "norm_max": np.array(
+                        [max(float(a["norm_max"]), float(b["norm_max"]))],
+                        np.float32,
+                    ),
+                }
+            )
+
+        merged_bnd = bnd.groupBy("term", "block_id", "is_label").applyInPandas(
+            lambda _key, pdf: merge_rows(pdf), BLOCKS_SCHEMA
+        )
+        blocks = plain.unionByName(merged_bnd)
+    else:
+        blocks = union.drop("side")
+    term_stats = (
+        base.term_stats.unionByName(delta.term_stats)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    if cache:
+        blocks = blocks.cache()
+    return BlockedIndex(
+        blocks=blocks,
+        term_stats=term_stats,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        params=base.params,
+        has_positions=base.has_positions,
+    )
+
+
 class BlockSearchEngine:
     """Full query surface over packed blocks.
 

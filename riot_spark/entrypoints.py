@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # story on the index that exists at 100 TB
     q["ft_block_batch_topk"] = _ft_block_batch_topk
     q["ft_block_batch_wand"] = _ft_block_batch_wand
+    q["ft_block_merged"] = _ft_block_merged
     q["ft_block_batch_logic"] = _ft_block_batch_logic
     # block-path request-shape parity: whitelist / offset /
     # ReverseOrder / CountDocsOnly / orderless on the packed layout
@@ -499,6 +500,43 @@ def _ft_block_batch_topk(spark, sf) -> DataFrame:
     res = eng.search_batch(reqs, double_scores=True)
     return res.select(
         "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _ft_block_merged(spark, sf) -> DataFrame:
+    """LSM append merge at the driver gate: the corpus is indexed as
+    TWO block stores split at a non-block-aligned doc id, merged with
+    blocks.merge_blocked_indexes (base bytes untouched, one boundary
+    range repacked, stats re-weighted), then queried — the oracle
+    computes BM25 over the FULL documents table, so the merged N /
+    avgdl / df and the boundary block's concatenated postings must
+    come out exactly as if the index had been built whole."""
+    from riot_spark.blocks import (
+        BlockSearchEngine,
+        blocked_from_index,
+        merge_blocked_indexes,
+    )
+    from riot_spark.build import build_index
+    from riot_spark.config import EngineConfig, LOCS_INDEX
+    from riot_spark.sources.corpus import load_documents
+
+    docs = load_documents(spark, sf)
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    split = 300  # not a multiple of 2^6: one shared boundary range
+    base = blocked_from_index(
+        build_index(docs.where(F.col("doc_id") < split), cfg),
+        doc_block_bits=6,
+    )
+    delta = blocked_from_index(
+        build_index(docs.where(F.col("doc_id") >= split), cfg),
+        doc_block_bits=6,
+    )
+    merged = merge_blocked_indexes(base, delta)
+    req = SearchRequest(text="data query", max_outputs=20)
+    req.double_scores = True
+    res = BlockSearchEngine(merged).search(req)
+    return res.select(
+        "doc_id", F.col("score").cast("double").alias("score")
     )
 
 
@@ -1194,6 +1232,7 @@ WITH {_TOKS_CTE}
 """
     o["ft_block_batch_topk"] = o["ft_batch_topk"]
     o["ft_block_batch_wand"] = o["ft_batch_topk"]
+    o["ft_block_merged"] = o["ft_and2_bm25"]
     o["ft_block_whitelist"] = _bm25_sql(["data"], k=10, whitelist=WL)
     o["ft_block_offset_limit"] = _bm25_sql(["data", "query"], k=5, offset=5)
     o["ft_hydrated"] = f"""

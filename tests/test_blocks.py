@@ -691,3 +691,78 @@ def test_wand_pushdown_reaches_parquet_scan(tmp_path, spark, sf_index, bindex):
     plan2 = joined._jdf.queryExecution().executedPlan().toString()
     assert "In(block_id" not in plan2, plan2[:2000]
     assert picked.count() == joined.count()
+
+
+def test_merge_blocked_indexes_incremental(spark):
+    """LSM-style append merge: two half-corpus block stores merged
+    WITHOUT repacking the base must answer every query exactly like an
+    index built over the full corpus — including the one boundary doc
+    range both halves touch, packed-position proximity, and a forced
+    WAND walk on the merged store (whose rescaled norm_max bounds must
+    still dominate)."""
+    from riot_spark.blocks import merge_blocked_indexes
+
+    docs = load_documents(spark, SF_SMOKE)
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    split = 300  # NOT a multiple of 2^6: block 4 becomes the boundary
+    base_idx = build_index(docs.where(F.col("doc_id") < split), cfg)
+    delta_idx = build_index(docs.where(F.col("doc_id") >= split), cfg)
+    full_idx = build_index(docs, cfg)
+    base_bi = blocked_from_index(base_idx, doc_block_bits=6)
+    delta_bi = blocked_from_index(delta_idx, doc_block_bits=6)
+    merged = merge_blocked_indexes(base_bi, delta_bi)
+
+    assert merged.n_docs == 500
+    np.testing.assert_allclose(merged.avgdl, full_idx.avgdl, rtol=1e-9)
+    # exactly one row per (term, block_id, is_label) — the boundary
+    # block's rows merged instead of duplicating
+    dup = (
+        merged.blocks.groupBy("term", "block_id", "is_label")
+        .count().where(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    # the boundary range really was shared (split not block-aligned)
+    shared = (
+        base_bi.blocks.select("block_id").distinct()
+        .intersect(delta_bi.blocks.select("block_id").distinct()).count()
+    )
+    assert shared == 1
+
+    flat = SearchEngine(full_idx)
+    eng = BlockSearchEngine(merged)
+    for toks in (["data", "query"], ["join", "filter"], ["batch"]):
+        want = flat.search(
+            SearchRequest(tokens=toks, scorer="float32", max_outputs=50)
+        ).collect()
+        got = eng.search_and(toks, k=50).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], toks
+        np.testing.assert_allclose(
+            [float(r["score"]) for r in got],
+            [float(r["score"]) for r in want],
+            rtol=1e-6, err_msg=str(toks),
+        )
+    # packed positions survive the boundary repack: proximity parity
+    want = flat.search(
+        SearchRequest(tokens=["data", "query"], scorer="float32")
+    ).collect()
+    got = eng.search_and(["data", "query"], proximity=True).collect()
+    assert {
+        r["doc_id"]: (r["proximity"], list(r["snippet_locs"] or []))
+        for r in got
+    } == {
+        r["doc_id"]: (r["proximity"], list(r["snippet_locs"] or []))
+        for r in want
+    }
+    # WAND on the merged store: rescaled bounds must still dominate
+    wand = BlockSearchEngine(merged)
+    wand.WAND_MIN_POSTINGS = 0
+    wand.WAND_MIN_RANGES = 0
+    wand.WAND_FLAT = 2.0
+    got = wand.search_and(["data", "query"], k=10).collect()
+    want = eng.search_and(["data", "query"], k=10).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
+        (r["doc_id"], np.float32(r["score"])) for r in want
+    ]
+    # append-only contract enforced
+    with pytest.raises(ValueError):
+        merge_blocked_indexes(delta_bi, base_bi)
