@@ -498,124 +498,132 @@ def blocked_from_index(
 def merge_blocked_indexes(
     base: BlockedIndex, delta: BlockedIndex, cache: bool = True
 ) -> BlockedIndex:
-    """LSM-style incremental maintenance: append a DELTA block store
-    (newly crawled docs, packed on their own) to a BASE store without
-    touching the base's packed bytes — index-update cost is
-    O(new data), never O(corpus), the property that makes a 10^12-doc
-    index maintainable (riot's incremental AddDocs,
-    core/indexer.go:116-366, re-expressed at the block level).
+    """Append a DELTA block store to a BASE store — see
+    :func:`merge_blocked_many` (this is the two-store case)."""
+    return merge_blocked_many([base, delta], cache=cache)
 
-    Contract (asserted): every delta doc id EXCEEDS the base's maximum
-    — the dense-append id assignment of a growing corpus
-    (pages_to_documents).  Doc-range blocks of the two stores are then
-    disjoint except for AT MOST ONE boundary range (the base's tail
-    block), whose per-term rows are the only bytes repacked: base and
-    delta postings concatenate in id order inside a tiny keyed kernel.
-    Everything else is a column-level UNION.
 
-    Statistics: N adds, avgdl re-weights, per-term df sums (one
-    agg over the union of the two term tables).  The stored
-    `norm_max` WAND metadata was computed against each side's own
-    avgdl; under the merged avgdl a norm can only grow by the factor
-    avgdl_merged/avgdl_side (monotone in dl/avgdl), so each side's
-    norm_max scales by max(1, that factor) — bounds stay a provable
-    upper bound (slightly looser, never wrong), and WAND on the merged
-    store remains exact (differential-tested)."""
-    if base.has_positions != delta.has_positions:
-        raise ValueError("cannot merge LocsIndex and FrequenciesIndex stores")
-    if base.params != delta.params:
-        raise ValueError("BM25 parameters differ between the stores")
-    brow = base.blocks.agg(F.max("last_doc_id").alias("mx")).first()
-    drow = delta.blocks.agg(F.min("first_doc_id").alias("mn")).first()
-    if drow["mn"] is None:
-        return base
-    if brow["mx"] is None:
-        return delta
-    base_max, delta_min = int(brow["mx"]), int(drow["mn"])
-    if delta_min <= base_max:
-        raise ValueError(
-            f"delta doc ids must all exceed the base's maximum "
-            f"({delta_min} <= {base_max}) — merge is append-only"
+def merge_blocked_many(
+    parts: list[BlockedIndex], cache: bool = True
+) -> BlockedIndex:
+    """LSM-style incremental maintenance: fold an ordered list of
+    block stores (each packing a LATER dense doc-id range — the
+    append-only id assignment of a growing corpus) into one queryable
+    index WITHOUT repacking any segment's bytes.  riot's incremental
+    AddDocs (core/indexer.go:116-366) re-expressed at the block level:
+    index-update cost is O(new data), never O(corpus).
+
+    Contract (asserted): segment doc-id ranges are strictly
+    increasing.  Doc-range blocks of different segments are then
+    disjoint except for boundary ranges (a segment's tail block shared
+    with the next segment's head), found with ONE metadata aggregation
+    and repacked in one tiny keyed kernel (rows per boundary range ≤
+    2·|terms in it|); every other block row passes through as a
+    column-level union.
+
+    Statistics: N adds, avgdl re-weights, per-term df sums.  Each
+    segment's stored `norm_max` WAND metadata was computed against its
+    own avgdl; under the merged avgdl a norm can only grow by the
+    factor avgdl_merged/avgdl_segment (BM25's dl normalization is
+    monotone in dl/avgdl), so each segment's norm_max scales by
+    max(1, that factor) — bounds stay provable upper bounds (slightly
+    looser, never wrong) and WAND on the merged store remains exact
+    (differential-tested)."""
+    parts = [p for p in parts if p.n_docs > 0]
+    if not parts:
+        raise ValueError("nothing to merge")
+    if len(parts) == 1:
+        return parts[0]
+    first = parts[0]
+    for p in parts[1:]:
+        if p.has_positions != first.has_positions:
+            raise ValueError(
+                "cannot merge LocsIndex and FrequenciesIndex stores"
+            )
+        if p.params != first.params:
+            raise ValueError("BM25 parameters differ between the stores")
+    ranges = []
+    for p in parts:
+        r = p.blocks.agg(
+            F.min("first_doc_id").alias("lo"), F.max("last_doc_id").alias("hi")
+        ).first()
+        ranges.append((int(r["lo"]), int(r["hi"])))
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        if lo_b <= hi_a:
+            raise ValueError(
+                f"segment doc-id ranges must be strictly increasing "
+                f"({lo_b} <= {hi_a}) — merge is append-only"
+            )
+    n_docs = sum(p.n_docs for p in parts)
+    avgdl = sum(p.avgdl * p.n_docs for p in parts) / n_docs
+    tagged = []
+    for side, p in enumerate(parts):
+        f = max(1.0, avgdl / p.avgdl) if p.avgdl else 1.0
+        tagged.append(
+            p.blocks.withColumn(
+                "norm_max",
+                (F.col("norm_max").cast("double") * F.lit(f)).cast("float"),
+            ).withColumn("side", F.lit(side))
         )
-    n_docs = base.n_docs + delta.n_docs
-    avgdl = (
-        base.avgdl * base.n_docs + delta.avgdl * delta.n_docs
-    ) / n_docs
-    f_base = max(1.0, avgdl / base.avgdl) if base.avgdl else 1.0
-    f_delta = max(1.0, avgdl / delta.avgdl) if delta.avgdl else 1.0
-
-    def _scaled(df: DataFrame, f: float, side: int) -> DataFrame:
-        return df.withColumn(
-            "norm_max",
-            (F.col("norm_max").cast("double") * F.lit(f)).cast("float"),
-        ).withColumn("side", F.lit(side))
-
-    ub = _scaled(base.blocks, f_base, 0)
-    ud = _scaled(delta.blocks, f_delta, 1)
-    # at most one shared doc range exists (the base's tail block);
-    # detected from metadata, never assumed from doc_block_bits
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+    # boundary ranges: block ids touched by >1 segment — one metadata
+    # agg over (block_id, side); at most len(parts)-1 ids by contract
     shared = [
         int(r["block_id"])
-        for r in ub.select("block_id")
-        .distinct()
-        .intersect(ud.select("block_id").distinct())
+        for r in union.groupBy("block_id")
+        .agg(F.countDistinct("side").alias("ns"))
+        .where(F.col("ns") > 1)
+        .select("block_id")
         .collect()
     ]
-    if len(shared) > 1:
+    if len(shared) >= len(parts):
         raise AssertionError(
-            f"append-only stores share {len(shared)} doc ranges; "
-            "expected at most the base's tail block"
+            f"append-only segments share {len(shared)} doc ranges; "
+            f"expected < {len(parts)} (tail/head boundaries only)"
         )
-    union = ub.unionByName(ud)
     if shared:
         plain = union.where(~F.col("block_id").isin(shared)).drop("side")
         bnd = union.where(F.col("block_id").isin(shared))
-        locs = base.has_positions
+        locs = first.has_positions
 
         def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("side")
             if len(pdf) == 1:
                 return pdf.drop(columns=["side"])
-            a, b = pdf.iloc[0], pdf.iloc[1]
             ids = np.concatenate(
-                [delta_decode(bytes(a["doc_ids"])), delta_decode(bytes(b["doc_ids"]))]
+                [delta_decode(bytes(r)) for r in pdf["doc_ids"]]
             )
             tfs = np.concatenate(
-                [
-                    unpack_ints_as_floats(bytes(a["tfs"])),
-                    unpack_ints_as_floats(bytes(b["tfs"])),
-                ]
+                [unpack_ints_as_floats(bytes(r)) for r in pdf["tfs"]]
             )
             lens = np.concatenate(
-                [
-                    unpack_ints_as_floats(bytes(a["token_lens"])),
-                    unpack_ints_as_floats(bytes(b["token_lens"])),
-                ]
+                [unpack_ints_as_floats(bytes(r)) for r in pdf["token_lens"]]
             )
-            if locs and not bool(a["is_label"]):
-                flat_a, off_a = unpack_position_lists(
-                    bytes(a["positions"]), tfs[: int(a["n"])].astype(np.int64)
-                )
-                flat_b, off_b = unpack_position_lists(
-                    bytes(b["positions"]), tfs[int(a["n"]):].astype(np.int64)
-                )
-                counts_a = tfs[: int(a["n"])].astype(np.int64)
-                counts_b = tfs[int(a["n"]):].astype(np.int64)
-                lists = [
-                    flat_a[off_a[i]: off_a[i] + counts_a[i]]
-                    for i in range(int(a["n"]))
-                ] + [
-                    flat_b[off_b[i]: off_b[i] + counts_b[i]]
-                    for i in range(int(b["n"]))
-                ]
+            head = pdf.iloc[0]
+            is_label = bool(head["is_label"])
+            if locs and not is_label:
+                lists = []
+                off = 0
+                for _, r in pdf.iterrows():
+                    counts = tfs[off: off + int(r["n"])].astype(np.int64)
+                    flat, offs = unpack_position_lists(
+                        bytes(r["positions"]), counts
+                    )
+                    lists.extend(
+                        flat[offs[i]: offs[i] + counts[i]]
+                        for i in range(int(r["n"]))
+                    )
+                    off += int(r["n"])
                 positions = pack_position_lists(lists)
             else:
-                positions = a["positions"] if not locs or bool(a["is_label"]) else None
+                positions = None if locs and not is_label else head["positions"]
             return pd.DataFrame(
                 {
-                    "term": [a["term"]],
-                    "block_id": np.array([a["block_id"]], np.int64),
-                    "is_label": [bool(a["is_label"])],
+                    "term": [head["term"]],
+                    "block_id": np.array([head["block_id"]], np.int64),
+                    "is_label": [is_label],
                     "n": np.array([len(ids)], np.int32),
                     "first_doc_id": np.array([ids[0]], np.int64),
                     "last_doc_id": np.array([ids[-1]], np.int64),
@@ -624,8 +632,7 @@ def merge_blocked_indexes(
                     "token_lens": [pack_floats_as_ints(lens)],
                     "positions": [positions],
                     "norm_max": np.array(
-                        [max(float(a["norm_max"]), float(b["norm_max"]))],
-                        np.float32,
+                        [float(pdf["norm_max"].max())], np.float32
                     ),
                 }
             )
@@ -636,11 +643,10 @@ def merge_blocked_indexes(
         blocks = plain.unionByName(merged_bnd)
     else:
         blocks = union.drop("side")
-    term_stats = (
-        base.term_stats.unionByName(delta.term_stats)
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-    )
+    term_stats = parts[0].term_stats
+    for p in parts[1:]:
+        term_stats = term_stats.unionByName(p.term_stats)
+    term_stats = term_stats.groupBy("term").agg(F.sum("df").alias("df"))
     if cache:
         blocks = blocks.cache()
     return BlockedIndex(
@@ -648,8 +654,8 @@ def merge_blocked_indexes(
         term_stats=term_stats,
         n_docs=n_docs,
         avgdl=avgdl,
-        params=base.params,
-        has_positions=base.has_positions,
+        params=first.params,
+        has_positions=first.has_positions,
     )
 
 
@@ -2379,7 +2385,66 @@ def write_blocked_index(
     return {"skipped": False, **manifest}
 
 
+def append_blocked_index(
+    bindex: BlockedIndex,
+    path: str,
+    input_paths: list[str] | None = None,
+    config_repr: str = "",
+) -> dict:
+    """Append a DELTA block store to a persisted store as a new LSM
+    SEGMENT — the persisted twin of :func:`merge_blocked_many`.
+
+    The base store's files are NEVER rewritten: the delta lands under
+    ``path/segments/<n>/`` (a complete store with its own lineage
+    manifest, written by :func:`write_blocked_index`, so each
+    segment's resume/fingerprint semantics apply unchanged), and the
+    reader folds root + segments back together.  A year of daily crawl
+    increments is 365 appends costing O(that day's docs) each — the
+    base's packed bytes are written once, ever.
+
+    Append-only contract checked HERE (cheap parquet-stats aggs), not
+    just at read: the delta's smallest doc id must exceed the stored
+    store's largest.  Re-appending an identical input (same
+    fingerprint as any existing segment) is a skip, keyed the same way
+    as write_blocked_index's resume."""
+    if not os.path.exists(f"{path}/manifest.json"):
+        raise ValueError(f"no base store at {path} — write_blocked_index first")
+    spark = bindex.blocks.sparkSession
+    fp = _input_fingerprint(input_paths or [], config_repr)
+    seg_root = f"{path}/segments"
+    existing = sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []
+    for seg in existing:
+        mpath = f"{seg_root}/{seg}/manifest.json"
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                m = json.load(f)
+            if m.get("input_fingerprint") == fp and m.get("status") == "done":
+                return {"skipped": True, "segment": seg, **m}
+    stored = read_blocked_index(spark, path)
+    if stored.has_positions != bindex.has_positions:
+        raise ValueError("cannot append a different index mode to this store")
+    if stored.params != bindex.params:
+        raise ValueError("BM25 parameters differ from the stored index")
+    hi = stored.blocks.agg(F.max("last_doc_id").alias("hi")).first()["hi"]
+    lo = bindex.blocks.agg(F.min("first_doc_id").alias("lo")).first()["lo"]
+    if hi is not None and lo is not None and int(lo) <= int(hi):
+        raise ValueError(
+            f"append-only: delta doc ids must exceed the stored maximum "
+            f"({int(lo)} <= {int(hi)})"
+        )
+    seg = f"{len(existing):06d}"
+    m = write_blocked_index(
+        bindex, f"{seg_root}/{seg}", input_paths=input_paths,
+        config_repr=config_repr,
+    )
+    return {"segment": seg, **m}
+
+
 def read_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
+    """Open a persisted store.  A store with LSM segments (see
+    :func:`append_blocked_index`) folds root + segments through
+    :func:`merge_blocked_many` — no segment's bytes are repacked
+    except the tail/head boundary ranges."""
     g = spark.read.parquet(f"{path}/global_stats").collect()[0]
     row = g.asDict()
     blocks = spark.read.parquet(f"{path}/blocks")
@@ -2391,7 +2456,7 @@ def read_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
         blocks = blocks.withColumn("is_label", F.lit(False))
     if "positions" not in blocks.columns:
         blocks = blocks.withColumn("positions", F.lit(None).cast("binary"))
-    return BlockedIndex(
+    root = BlockedIndex(
         blocks=blocks,
         term_stats=spark.read.parquet(f"{path}/term_stats"),
         n_docs=int(g["n_docs"]),
@@ -2399,3 +2464,11 @@ def read_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
         params=BM25Params(k1=float(g["k1"]), b=float(g["b"])),
         has_positions=bool(row.get("has_positions", False)),
     )
+    seg_root = f"{path}/segments"
+    segs = sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []
+    if not segs:
+        return root
+    parts = [root] + [
+        read_blocked_index(spark, f"{seg_root}/{s}") for s in segs
+    ]
+    return merge_blocked_many(parts, cache=False)

@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_block_batch_topk"] = _ft_block_batch_topk
     q["ft_block_batch_wand"] = _ft_block_batch_wand
     q["ft_block_merged"] = _ft_block_merged
+    q["ft_block_store_appended"] = _ft_block_store_appended
     q["ft_block_batch_logic"] = _ft_block_batch_logic
     # block-path request-shape parity: whitelist / offset /
     # ReverseOrder / CountDocsOnly / orderless on the packed layout
@@ -538,6 +539,56 @@ def _ft_block_merged(spark, sf) -> DataFrame:
     return res.select(
         "doc_id", F.col("score").cast("double").alias("score")
     )
+
+
+def _ft_block_store_appended(spark, sf) -> DataFrame:
+    """The persisted LSM path end to end: base store + two appended
+    segments (splits NOT block-aligned, so both boundary ranges get
+    the repack kernel), read back as one index and queried — against
+    the same full-corpus BM25 oracle as ft_and2_bm25.  The base's
+    files are never rewritten (test_blocks.py asserts mtimes)."""
+    import shutil
+    import tempfile
+
+    from riot_spark.blocks import (
+        BlockSearchEngine,
+        append_blocked_index,
+        blocked_from_index,
+        read_blocked_index,
+        write_blocked_index,
+    )
+    from riot_spark.build import build_index
+    from riot_spark.config import EngineConfig, LOCS_INDEX
+    from riot_spark.sources.corpus import load_documents
+
+    docs = load_documents(spark, sf)
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    path = tempfile.mkdtemp(prefix="riot_lsm_gate_")
+    shutil.rmtree(path)
+    cuts = [(0, 200), (200, 330), (330, 1 << 60)]
+    parts = [
+        blocked_from_index(
+            build_index(
+                docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ),
+                cfg,
+            ),
+            doc_block_bits=6,
+        )
+        for lo, hi in cuts
+    ]
+    write_blocked_index(parts[0], path, input_paths=[], config_repr="s0")
+    append_blocked_index(parts[1], path, input_paths=[], config_repr="s1")
+    append_blocked_index(parts[2], path, input_paths=[], config_repr="s2")
+    merged = read_blocked_index(spark, path)
+    req = SearchRequest(text="data query", max_outputs=20)
+    req.double_scores = True
+    res = BlockSearchEngine(merged).search(req)
+    out = res.select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    )
+    return out
 
 
 def _ft_block_batch_wand(spark, sf) -> DataFrame:
@@ -1233,6 +1284,7 @@ WITH {_TOKS_CTE}
     o["ft_block_batch_topk"] = o["ft_batch_topk"]
     o["ft_block_batch_wand"] = o["ft_batch_topk"]
     o["ft_block_merged"] = o["ft_and2_bm25"]
+    o["ft_block_store_appended"] = o["ft_and2_bm25"]
     o["ft_block_whitelist"] = _bm25_sql(["data"], k=10, whitelist=WL)
     o["ft_block_offset_limit"] = _bm25_sql(["data", "query"], k=5, offset=5)
     o["ft_hydrated"] = f"""

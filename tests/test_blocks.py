@@ -766,3 +766,79 @@ def test_merge_blocked_indexes_incremental(spark):
     # append-only contract enforced
     with pytest.raises(ValueError):
         merge_blocked_indexes(delta_bi, base_bi)
+
+
+def test_append_blocked_index_segments(tmp_path, spark):
+    """Persisted LSM segments: a base store plus two appended deltas
+    must read back as ONE index that answers exactly like a
+    full-corpus build — without any base file rewrite.  Re-appending
+    the same input is a fingerprint skip; out-of-order appends are
+    rejected at append time."""
+    import os
+
+    from riot_spark.blocks import append_blocked_index
+
+    docs = load_documents(spark, SF_SMOKE)
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    cuts = [(0, 200), (200, 330), (330, 500)]  # 200, 330 not 64-aligned
+    parts = [
+        blocked_from_index(
+            build_index(
+                docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ),
+                cfg,
+            ),
+            doc_block_bits=6,
+        )
+        for lo, hi in cuts
+    ]
+    path = str(tmp_path / "lsm_store")
+    write_blocked_index(parts[0], path, input_paths=[], config_repr="seg0")
+    base_files = {
+        f: os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{path}/blocks") for f in fs
+    }
+    m1 = append_blocked_index(parts[1], path, input_paths=[],
+                              config_repr="seg1")
+    m2 = append_blocked_index(parts[2], path, input_paths=[],
+                              config_repr="seg2")
+    assert not m1["skipped"] and not m2["skipped"]
+    assert m1["segment"] == "000000" and m2["segment"] == "000001"
+    # base files untouched by both appends
+    after = {
+        f: os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{path}/blocks") for f in fs
+    }
+    assert after == base_files
+    # idempotent re-append: fingerprint skip
+    m3 = append_blocked_index(parts[2], path, input_paths=[],
+                              config_repr="seg2")
+    assert m3["skipped"]
+    # out-of-order append rejected
+    with pytest.raises(ValueError):
+        append_blocked_index(parts[1], path, input_paths=[],
+                             config_repr="seg1-again-different")
+
+    merged = read_blocked_index(spark, path)
+    assert merged.n_docs == 500
+    full_idx = build_index(docs, cfg)
+    flat = SearchEngine(full_idx)
+    eng = BlockSearchEngine(merged)
+    for toks in (["data", "query"], ["batch"]):
+        want = flat.search(
+            SearchRequest(tokens=toks, scorer="float32", max_outputs=30)
+        ).collect()
+        got = eng.search_and(toks, k=30).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], toks
+        np.testing.assert_allclose(
+            [float(r["score"]) for r in got],
+            [float(r["score"]) for r in want],
+            rtol=1e-6, err_msg=str(toks),
+        )
+    # the 3-way boundary kernel: no duplicate (term, block, label) rows
+    dup = (
+        merged.blocks.groupBy("term", "block_id", "is_label")
+        .count().where(F.col("count") > 1).count()
+    )
+    assert dup == 0
