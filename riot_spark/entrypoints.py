@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r2 #7): segments+tombstones -> blocked_from_index handoff; the
     # oracle is the batch block query (ft_block_and2)
     q["stream_block_and2"] = _stream_block_and2
+    q["stream_lsm_bm25"] = _stream_lsm_bm25
     # stateful streaming first-seen dedup (applyInPandasWithState):
     # two real micro-batches; one surviving row per fingerprint
     q["stream_first_seen"] = _stream_first_seen
@@ -892,6 +893,44 @@ def _stream_block_and2(spark, sf) -> DataFrame:
         return out
 
 
+def _stream_lsm_bm25(spark, sf) -> DataFrame:
+    """The streaming write path kept O(new data): batch 0 seeds the
+    persisted block store, the append-only batch 1 lands as an LSM
+    segment (compact_to_blocks_incremental -> append_blocked_index —
+    the base's files are never rewritten), and the folded store must
+    score BM25 exactly like a one-shot full build (ft_and2_bm25's
+    oracle over the whole corpus)."""
+    import tempfile
+
+    from riot_spark.blocks import BlockSearchEngine
+    from riot_spark.streaming.incremental import StreamingIndexer
+
+    docs = load_documents(spark, sf).select("doc_id", "text")
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    with tempfile.TemporaryDirectory() as tmp:
+        ixer = StreamingIndexer(spark, f"{tmp}/stream", cfg)
+        ixer.process_batch(docs.where(F.col("doc_id") < 250), 0)
+        bi, mode = ixer.compact_to_blocks_incremental(
+            f"{tmp}/store", doc_block_bits=6
+        )
+        assert mode == "initial", mode
+        ixer.process_batch(docs.where(F.col("doc_id") >= 250), 1)
+        bi, mode = ixer.compact_to_blocks_incremental(
+            f"{tmp}/store", doc_block_bits=6
+        )
+        assert mode == "appended", mode
+        req = SearchRequest(text="data query", max_outputs=20)
+        req.double_scores = True
+        out = (
+            BlockSearchEngine(bi)
+            .search(req)
+            .select("doc_id", F.col("score").cast("double").alias("score"))
+        )
+        out = out.cache()
+        out.count()  # materialize before the tmpdir vanishes
+        return out
+
+
 _FS_SEQ = 0
 
 
@@ -1263,6 +1302,7 @@ GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id
     # streaming->block compaction must converge to the one-shot block
     # index: identical oracle
     o["stream_block_and2"] = o["ft_block_and2"]
+    o["stream_lsm_bm25"] = o["ft_and2_bm25"]
     # (ft_block_proximity2 oracle = ft_proximity2's SQL, assigned below)
     o["ft_block_logic"] = f"""
 WITH {_TOKS_CTE}

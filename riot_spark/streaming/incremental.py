@@ -20,6 +20,7 @@ batch-keyed and overwritten on replay).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -88,15 +89,22 @@ class StreamingIndexer:
             f"{seg_dir}/batch=*"
         )
 
-    def current_tokens(self) -> DataFrame | None:
+    def current_tokens(self, min_batch: int = -1) -> DataFrame | None:
         """Live flat tokens = newest segment row per doc (later batch
-        tombstones shadow earlier segments)."""
+        tombstones shadow earlier segments).  ``min_batch`` restricts
+        the view to micro-batches with ``batch_id > min_batch`` — the
+        incremental-compaction window (newest-wins applies WITHIN the
+        window; a window doc that also lives in an older batch is the
+        caller's contract violation to detect)."""
         segs = self._segments()
         if segs is None:
             return None
         tomb = self.spark.read.option(
             "basePath", f"{self.path}/tombstones"
         ).parquet(f"{self.path}/tombstones/batch=*")
+        if min_batch >= 0:
+            segs = segs.where(F.col("batch_id") > min_batch)
+            tomb = tomb.where(F.col("batch_id") > min_batch)
         # a doc is shadowed if a LATER batch re-added (tombstoned) it
         latest = tomb.groupBy("doc_id").agg(F.max("batch_id").alias("last_batch"))
         return (
@@ -158,3 +166,111 @@ class StreamingIndexer:
                 config_repr=f"stream:{self.config!r}:{doc_block_bits}",
             )
         return bi
+
+    def _batch_ids(self) -> list[int]:
+        seg_dir = f"{self.path}/segments"
+        if not os.path.isdir(seg_dir):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(seg_dir)
+            if d.startswith("batch=")
+        )
+
+    def _window_files(self, min_batch: int) -> list[str]:
+        out: list[str] = []
+        for sub in ("segments", "tombstones"):
+            root = f"{self.path}/{sub}"
+            if not os.path.isdir(root):
+                continue
+            for d in os.listdir(root):
+                if not d.startswith("batch="):
+                    continue
+                if int(d.split("=", 1)[1]) <= min_batch:
+                    continue
+                for r, _, files in os.walk(f"{root}/{d}"):
+                    out.extend(
+                        os.path.join(r, f)
+                        for f in files
+                        if f.endswith(".parquet")
+                    )
+        return out
+
+    def compact_to_blocks_incremental(
+        self,
+        store_path: str,
+        doc_block_bits: int = 13,
+    ):
+        """Incremental LSM compaction — the streaming write path kept
+        O(new data): only the micro-batches that arrived since the
+        last compaction are tokenized and packed, and they land as ONE new
+        segment of the block store (`blocks.append_blocked_index`);
+        the store's existing bytes are never rewritten.  A window that
+        re-adds a doc id already in the store violates the append-only
+        contract (riot's delete-then-insert re-add,
+        core/indexer.go:195-199) — detected by the append's own
+        doc-id-range check, and the method falls back to ONE full
+        rebuild (`compact_to_blocks` semantics: segments dir cleared,
+        base rewritten), after which appends resume.
+
+        Returns (BlockedIndex read back from the store, mode) with
+        mode ∈ 'initial' | 'appended' | 'noop' | 'rebuilt', or
+        (None, None) when the stream has produced nothing yet."""
+        import shutil
+
+        from riot_spark.blocks import (
+            append_blocked_index,
+            blocked_from_index,
+            read_blocked_index,
+            write_blocked_index,
+        )
+
+        batches = self._batch_ids()
+        if not batches:
+            return None, None
+        state_path = f"{store_path}/stream_state.json"
+        last = -1
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                last = json.load(f)["last_batch"]
+        new = [b for b in batches if b > last]
+        if not new:
+            return read_blocked_index(self.spark, store_path), "noop"
+
+        def _full_rebuild():
+            shutil.rmtree(f"{store_path}/segments", ignore_errors=True)
+            idx = self.build_live_index()
+            bi = blocked_from_index(idx, doc_block_bits=doc_block_bits)
+            write_blocked_index(
+                bi, store_path,
+                input_paths=self._window_files(-1),
+                config_repr=f"stream:{self.config!r}:{doc_block_bits}",
+            )
+
+        mode = None
+        if last < 0 or not os.path.exists(f"{store_path}/manifest.json"):
+            _full_rebuild()
+            mode = "initial"
+        else:
+            toks = self.current_tokens(min_batch=last)
+            delta_idx = build_index_from_tokens(
+                toks, self.config, cache=False, unique_postings=True
+            )
+            delta_bi = blocked_from_index(
+                delta_idx, doc_block_bits=doc_block_bits, cache=False
+            )
+            try:
+                append_blocked_index(
+                    delta_bi, store_path,
+                    input_paths=self._window_files(last),
+                    config_repr=f"stream:{self.config!r}:{doc_block_bits}",
+                )
+                mode = "appended"
+            except ValueError:
+                # a window doc id already lives in the store (re-add):
+                # one full rebuild restores the append-only invariant
+                _full_rebuild()
+                mode = "rebuilt"
+        with open(state_path, "w") as f:
+            json.dump({"last_batch": max(batches)}, f)
+        return read_blocked_index(self.spark, store_path), mode

@@ -153,3 +153,65 @@ def test_streaming_file_source_end_to_end(spark, tmp_path):
     live = sx.build_live_index()
     res = SearchEngine(live).search(SearchRequest(tokens=["beta"])).collect()
     assert sorted(r["doc_id"] for r in res) == [10, 11]
+
+
+def test_incremental_lsm_compaction(spark, tmp_path):
+    """compact_to_blocks_incremental keeps the streaming write path
+    O(new data): batch 0 seeds the store, an append-only batch lands
+    as an LSM segment WITHOUT rewriting the base, a no-change call is
+    a noop, and a RE-ADD batch (doc id already stored) triggers the
+    one full rebuild that restores the append-only invariant — each
+    state answering exactly like a batch build of the live docs."""
+    import os
+
+    from riot_spark.blocks import BlockSearchEngine
+    from riot_spark.config import LOCS_INDEX
+
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=4)
+    sx = StreamingIndexer(spark, str(tmp_path / "stream_idx"), cfg)
+    store = str(tmp_path / "lsm")
+
+    def check(live_docs):
+        bi, mode = ret[0], ret[1]
+        got = BlockSearchEngine(bi).search_and(["data"], k=0).collect()
+        want = SearchEngine(build_index(_docs(spark, live_docs), cfg)).search(
+            SearchRequest(tokens=["data"], scorer="float32")
+        ).collect()
+        assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
+            (r["doc_id"], np.float32(r["score"])) for r in want
+        ], mode
+        return mode
+
+    sx.process_batch(_docs(spark, [(1, "hello world data"),
+                                   (2, "data query engine")]), 0)
+    ret = sx.compact_to_blocks_incremental(store, doc_block_bits=6)
+    assert check([(1, "hello world data"), (2, "data query engine")]) == "initial"
+    base_files = {
+        f: os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{store}/blocks") for f in fs
+    }
+
+    # append-only batch => segment, base untouched
+    sx.process_batch(_docs(spark, [(3, "world data spark")]), 1)
+    ret = sx.compact_to_blocks_incremental(store, doc_block_bits=6)
+    assert check([(1, "hello world data"), (2, "data query engine"),
+                  (3, "world data spark")]) == "appended"
+    assert os.path.isdir(f"{store}/segments/000000")
+    after = {
+        f: os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{store}/blocks") for f in fs
+    }
+    assert after == base_files
+
+    # nothing new => noop
+    ret = sx.compact_to_blocks_incremental(store, doc_block_bits=6)
+    assert ret[1] == "noop"
+
+    # re-add of doc 2 => full rebuild (segments cleared)
+    sx.process_batch(_docs(spark, [(2, "data rebuilt engine")]), 2)
+    ret = sx.compact_to_blocks_incremental(store, doc_block_bits=6)
+    assert check([(1, "hello world data"), (3, "world data spark"),
+                  (2, "data rebuilt engine")]) == "rebuilt"
+    assert not os.path.isdir(f"{store}/segments") or not os.listdir(
+        f"{store}/segments"
+    )
