@@ -2440,6 +2440,46 @@ def append_blocked_index(
     return {"segment": seg, **m}
 
 
+def compact_segments(spark: SparkSession, path: str) -> dict:
+    """Fold a store's LSM segments back into a single base — the
+    periodic compaction that bounds read-side cost (each open folds
+    every live segment; reads stay cheap when appends are batched into
+    a handful of segments, and this collapses them once they are not).
+
+    Staged + atomic: the folded store is written NEXT TO the live one
+    (``<path>.compacting``) while readers of the old layout keep
+    working, then swapped in with directory renames; the streaming
+    sidecar (stream_state.json) survives the swap.  A store without
+    segments is a no-op."""
+    import shutil
+
+    seg_root = f"{path}/segments"
+    segs = sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []
+    if not segs:
+        return {"skipped": True, "segments": 0}
+    merged = read_blocked_index(spark, path)
+    stage = f"{path}.compacting"
+    shutil.rmtree(stage, ignore_errors=True)
+    inputs: list[str] = []
+    for root, _, files in os.walk(path):
+        inputs.extend(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
+    m = write_blocked_index(
+        merged, stage, input_paths=inputs,
+        config_repr=f"compact:{len(segs)}",
+    )
+    state = f"{path}/stream_state.json"
+    if os.path.exists(state):
+        shutil.copy(state, f"{stage}/stream_state.json")
+    old = f"{path}.precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old)
+    return {"skipped": False, "segments": len(segs), **m}
+
+
 def read_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
     """Open a persisted store.  A store with LSM segments (see
     :func:`append_blocked_index`) folds root + segments through

@@ -842,3 +842,57 @@ def test_append_blocked_index_segments(tmp_path, spark):
         .count().where(F.col("count") > 1).count()
     )
     assert dup == 0
+
+
+def test_compact_segments_folds_store(tmp_path, spark):
+    """compact_segments collapses LSM segments into a single base
+    (staged next to the live store, swapped atomically): the compacted
+    store has no segments, keeps the streaming sidecar, answers
+    identically, and further appends start from segment 0 again."""
+    import json as _json
+    import os
+
+    from riot_spark.blocks import append_blocked_index, compact_segments
+
+    docs = load_documents(spark, SF_SMOKE)
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    mk = lambda lo, hi: blocked_from_index(  # noqa: E731
+        build_index(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), cfg
+        ),
+        doc_block_bits=6,
+    )
+    path = str(tmp_path / "lsm2")
+    write_blocked_index(mk(0, 200), path, input_paths=[], config_repr="a")
+    append_blocked_index(mk(200, 330), path, input_paths=[], config_repr="b")
+    append_blocked_index(mk(330, 500), path, input_paths=[], config_repr="c")
+    with open(f"{path}/stream_state.json", "w") as f:
+        _json.dump({"last_batch": 7}, f)
+    before = BlockSearchEngine(read_blocked_index(spark, path)).search_and(
+        ["data", "query"], k=20
+    ).collect()
+
+    m = compact_segments(spark, path)
+    assert not m["skipped"] and m["segments"] == 2
+    assert not os.path.isdir(f"{path}/segments")
+    assert not os.path.exists(f"{path}.compacting")
+    assert not os.path.exists(f"{path}.precompact")
+    with open(f"{path}/stream_state.json") as f:
+        assert _json.load(f)["last_batch"] == 7
+
+    merged = read_blocked_index(spark, path)
+    after = BlockSearchEngine(merged).search_and(
+        ["data", "query"], k=20
+    ).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in after] == [
+        (r["doc_id"], np.float32(r["score"])) for r in before
+    ]
+    # second compaction: no-op; appends resume at segment 000000
+    assert compact_segments(spark, path)["skipped"]
+    docs2 = docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    m2 = append_blocked_index(
+        blocked_from_index(build_index(docs2, cfg), doc_block_bits=6),
+        path, input_paths=[], config_repr="d",
+    )
+    assert m2["segment"] == "000000"
+    assert read_blocked_index(spark, path).n_docs == 1000
