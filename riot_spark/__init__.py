@@ -22,7 +22,11 @@ from riot_spark.engine import Engine, remove_docs
 from riot_spark.query import SearchEngine, SearchRequest
 from riot_spark.blocks import (
     BlockSearchEngine,
+    append_blocked_index,
     blocked_from_index,
+    compact_segments,
+    merge_blocked_indexes,
+    merge_blocked_many,
     read_blocked_index,
     write_blocked_index,
 )
@@ -30,6 +34,10 @@ from riot_spark.blocks import (
 __all__ = [
     "BM25Params",
     "BlockSearchEngine",
+    "append_blocked_index",
+    "compact_segments",
+    "merge_blocked_indexes",
+    "merge_blocked_many",
     "Engine",
     "EngineConfig",
     "IndexBuilder",
@@ -43,4 +51,4 @@ __all__ = [
     "write_blocked_index",
 ]
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
