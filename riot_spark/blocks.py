@@ -2440,6 +2440,187 @@ def append_blocked_index(
     return {"segment": seg, **m}
 
 
+def delete_from_blocked(
+    bi: BlockedIndex, doc_ids: list[int], cache: bool = True
+) -> BlockedIndex:
+    """Functional doc delete ON THE PACKED LAYOUT (S2/B4,
+    engine.go:429-463 — the block-level twin of
+    :func:`riot_spark.engine.remove_docs`): only the doc ranges that
+    actually contain a tombstoned id are decoded and repacked; every
+    other block row passes through untouched, so the delete costs
+    O(touched ranges), never O(corpus).
+
+    Statistics recompute EXACTLY as riot does: N drops by the number
+    of deleted docs found in the index, avgdl re-weights by their doc
+    lengths (read out of the touched rows' packed token_lens — a doc
+    reachable only through stopworded/label terms keeps its length on
+    the flat path only, a documented edge), and per-term df drops by
+    the removed posting count (label rows included, matching the
+    build's df = full posting-list length).  Every surviving row's
+    norm_max is rescaled by max(1, avgdl_new/avgdl_old) so WAND bounds
+    keep dominating under the new stats (same argument as
+    :func:`merge_blocked_many`)."""
+    ids = np.unique(np.asarray([int(d) for d in doc_ids], np.int64))
+    if ids.size == 0:
+        return bi
+    spark = bi.blocks.sparkSession
+    tomb = F.broadcast(
+        spark.createDataFrame([(int(d),) for d in ids], "tomb_id LONG")
+    )
+    overlap = (F.col("tomb_id") >= F.col("first_doc_id")) & (
+        F.col("tomb_id") <= F.col("last_doc_id")
+    )
+    affected = bi.blocks.join(tomb, overlap, "left_semi").persist()
+    untouched = bi.blocks.join(tomb, overlap, "left_anti")
+    id_list = [int(d) for d in ids]
+
+    def rewrite(batches):
+        tomb_np = np.asarray(id_list, np.int64)
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                dc = delta_decode(bytes(r["doc_ids"]))
+                keep = ~np.isin(dc, tomb_np)
+                if keep.all():
+                    out.append(r)
+                    continue
+                if not keep.any():
+                    continue  # the whole row was tombstoned
+                tf = unpack_ints_as_floats(bytes(r["tfs"]))
+                dl = unpack_ints_as_floats(bytes(r["token_lens"]))
+                r = r.copy()
+                if r["positions"] is not None:
+                    counts = tf.astype(np.int64)
+                    flat, offs = unpack_position_lists(
+                        bytes(r["positions"]), counts
+                    )
+                    r["positions"] = pack_position_lists(
+                        [
+                            flat[offs[i]: offs[i] + counts[i]]
+                            for i in range(len(dc))
+                            if keep[i]
+                        ]
+                    )
+                dc, tf, dl = dc[keep], tf[keep], dl[keep]
+                r["doc_ids"] = delta_encode(dc)
+                r["tfs"] = pack_floats_as_ints(tf)
+                r["token_lens"] = pack_floats_as_ints(dl)
+                r["n"] = np.int32(len(dc))
+                r["first_doc_id"] = dc[0]
+                r["last_doc_id"] = dc[-1]
+                # norm_max stays: an upper bound over a SUPERSET of the
+                # surviving docs still dominates (rescaled for the new
+                # avgdl below, like every other row)
+                out.append(r)
+            if out:
+                yield pd.DataFrame(out)
+            else:
+                # typed empty frame: an all-object empty batch breaks
+                # the Arrow cast (same gotcha as the locs tokenizer)
+                yield pd.DataFrame(
+                    {
+                        "term": pd.Series([], dtype=object),
+                        "block_id": np.array([], np.int64),
+                        "is_label": np.array([], bool),
+                        "n": np.array([], np.int32),
+                        "first_doc_id": np.array([], np.int64),
+                        "last_doc_id": np.array([], np.int64),
+                        "doc_ids": pd.Series([], dtype=object),
+                        "tfs": pd.Series([], dtype=object),
+                        "token_lens": pd.Series([], dtype=object),
+                        "positions": pd.Series([], dtype=object),
+                        "norm_max": np.array([], np.float32),
+                    }
+                )
+
+    rewritten = affected.mapInPandas(rewrite, BLOCKS_SCHEMA)
+
+    # removed doc lengths from the touched CONTENT rows (one pass;
+    # each deleted doc counted once via drop_duplicates on doc_id)
+    def extract_dl(batches):
+        tomb_np = np.asarray(id_list, np.int64)
+        for pdf in batches:
+            got_ids, got_dl = [], []
+            for _, r in pdf.iterrows():
+                if bool(r["is_label"]):
+                    continue
+                dc = delta_decode(bytes(r["doc_ids"]))
+                hit = np.isin(dc, tomb_np)
+                if hit.any():
+                    dl = unpack_ints_as_floats(bytes(r["token_lens"]))
+                    got_ids.append(dc[hit])
+                    got_dl.append(dl[hit])
+            if got_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(got_ids),
+                        "dl": np.concatenate(got_dl).astype(np.float64),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.array([], np.int64),
+                        "dl": np.array([], np.float64),
+                    }
+                )
+
+    gone = (
+        affected.mapInPandas(extract_dl, "doc_id LONG, dl DOUBLE")
+        .dropDuplicates(["doc_id"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .first()
+    )
+    n_gone, dl_gone = int(gone["n"] or 0), float(gone["s"] or 0.0)
+    n_docs = bi.n_docs - n_gone
+    avgdl = (
+        (bi.avgdl * bi.n_docs - dl_gone) / n_docs if n_docs > 0 else 0.0
+    )
+    # df drops by removed postings per term: old minus new row counts
+    old_n = affected.groupBy("term").agg(F.sum("n").alias("df_old"))
+    removed = (
+        old_n.join(
+            rewritten.groupBy("term").agg(F.sum("n").alias("df_new")),
+            "term", "left",
+        )
+        .select(
+            "term",
+            (F.col("df_old") - F.coalesce(F.col("df_new"), F.lit(0))).alias(
+                "removed"
+            ),
+        )
+        .where(F.col("removed") > 0)
+    )
+    term_stats = (
+        bi.term_stats.join(F.broadcast(removed), "term", "left")
+        .select(
+            "term",
+            (
+                F.col("df") - F.coalesce(F.col("removed"), F.lit(0))
+            ).alias("df"),
+        )
+        .where(F.col("df") > 0)
+    )
+    factor = max(1.0, avgdl / bi.avgdl) if bi.avgdl else 1.0
+    blocks = (
+        untouched.unionByName(rewritten)
+        .withColumn(
+            "norm_max",
+            (F.col("norm_max").cast("double") * F.lit(factor)).cast("float"),
+        )
+    )
+    if cache:
+        blocks = blocks.cache()
+    return BlockedIndex(
+        blocks=blocks,
+        term_stats=term_stats,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        params=bi.params,
+        has_positions=bi.has_positions,
+    )
+
+
 def compact_segments(spark: SparkSession, path: str) -> dict:
     """Fold a store's LSM segments back into a single base — the
     periodic compaction that bounds read-side cost (each open folds

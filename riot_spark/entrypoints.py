@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_block_batch_wand"] = _ft_block_batch_wand
     q["ft_block_merged"] = _ft_block_merged
     q["ft_block_store_appended"] = _ft_block_store_appended
+    q["ft_block_delete_requery"] = _ft_block_delete_requery
     q["ft_block_batch_logic"] = _ft_block_batch_logic
     # block-path request-shape parity: whitelist / offset /
     # ReverseOrder / CountDocsOnly / orderless on the packed layout
@@ -824,6 +825,23 @@ def _ft_delete_requery(spark, sf) -> DataFrame:
         SearchRequest(text="data query", max_outputs=20, double_scores=True)
     )
     return res.select("doc_id", F.col("score").cast("double").alias("score"))
+
+
+def _ft_block_delete_requery(spark, sf) -> DataFrame:
+    """Delete-then-requery ON THE PACKED LAYOUT (S2/B4 at block level,
+    engine.go:429-463): delete_from_blocked repacks only the touched
+    doc ranges, recomputes N/avgdl/df exactly, and rescales the WAND
+    metadata — scores must match the same full recompute the flat path
+    (and the DuckDB oracle) does."""
+    from riot_spark.blocks import BlockSearchEngine, delete_from_blocked
+
+    bi = delete_from_blocked(_block_engine(spark, sf).bi, DELETE_IDS)
+    req = SearchRequest(text="data query", max_outputs=20)
+    req.double_scores = True
+    res = BlockSearchEngine(bi).search(req)
+    return res.select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    )
 
 
 def _ft_criteria_proximity(spark, sf) -> DataFrame:
@@ -1490,6 +1508,7 @@ SELECT doc_id, l1::INT AS loc1, l2::INT AS loc2 FROM (
         ["data", "query"], k=20,
         corpus_where=f" WHERE doc_id NOT IN ({_del})",
     )
+    o["ft_block_delete_requery"] = o["ft_delete_requery"]
     # fake decode = md5(payload) bytes tiled over 8x8x3: every channel
     # mean collapses to sum(md5 bytes)/16 (dyadic => exact doubles)
     o["mm_image_features"] = """

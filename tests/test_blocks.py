@@ -896,3 +896,71 @@ def test_compact_segments_folds_store(tmp_path, spark):
     )
     assert m2["segment"] == "000000"
     assert read_blocked_index(spark, path).n_docs == 1000
+
+
+def test_delete_from_blocked_matches_flat(spark, locs_sf_index, locs_bindex):
+    """Block-level delete (S2 on the packed layout) must answer like
+    the flat remove_docs rebuild: stats (N, avgdl, df) recomputed
+    exactly, deleted docs gone from every query shape, untouched
+    ranges byte-identical, and the forced WAND walk still exact under
+    the rescaled bounds."""
+    from riot_spark.blocks import delete_from_blocked
+    from riot_spark.engine import remove_docs
+
+    dead = list(range(0, 150, 3))
+    flat_idx = remove_docs(locs_sf_index, dead)
+    got_bi = delete_from_blocked(locs_bindex, dead)
+    want_bi = blocked_from_index(flat_idx, doc_block_bits=6)
+
+    assert got_bi.n_docs == flat_idx.n_docs
+    np.testing.assert_allclose(got_bi.avgdl, flat_idx.avgdl, rtol=1e-9)
+    got_df = {(r["term"]): r["df"] for r in got_bi.term_stats.collect()}
+    want_df = {(r["term"]): r["df"] for r in flat_idx.term_stats.collect()}
+    assert got_df == want_df
+
+    flat_eng = SearchEngine(flat_idx)
+    eng = BlockSearchEngine(got_bi)
+    for toks in (["data", "query"], ["batch"], ["join", "filter"]):
+        want = flat_eng.search(
+            SearchRequest(tokens=toks, scorer="float32", max_outputs=30)
+        ).collect()
+        got = eng.search_and(toks, k=30).collect()
+        assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
+            (r["doc_id"], np.float32(r["score"])) for r in want
+        ], toks
+        assert not any(r["doc_id"] in set(dead) for r in got)
+    # proximity survives the repack of touched ranges
+    want = flat_eng.search(
+        SearchRequest(tokens=["data", "query"], scorer="float32")
+    ).collect()
+    got = eng.search_and(["data", "query"], proximity=True).collect()
+    assert {
+        r["doc_id"]: (r["proximity"], list(r["snippet_locs"] or []))
+        for r in got
+    } == {
+        r["doc_id"]: (r["proximity"], list(r["snippet_locs"] or []))
+        for r in want
+    }
+    # packed payloads agree with a from-scratch rebuild of the
+    # surviving docs (ids/tfs/lens byte-identical; norm_max differs
+    # only by the conservative rescale)
+    key = lambda r: (r["term"], r["block_id"], r["is_label"])  # noqa: E731
+    got_rows = {
+        key(r): (bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["token_lens"]))
+        for r in got_bi.blocks.collect()
+    }
+    want_rows = {
+        key(r): (bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["token_lens"]))
+        for r in want_bi.blocks.collect()
+    }
+    assert got_rows == want_rows
+    # WAND stays exact under the rescaled norm_max bounds
+    wand = BlockSearchEngine(got_bi)
+    wand.WAND_MIN_POSTINGS = 0
+    wand.WAND_MIN_RANGES = 0
+    wand.WAND_FLAT = 2.0
+    got = wand.search_and(["data", "query"], k=10).collect()
+    want = eng.search_and(["data", "query"], k=10).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
+        (r["doc_id"], np.float32(r["score"])) for r in want
+    ]
