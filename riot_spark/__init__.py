@@ -25,6 +25,8 @@ from riot_spark.blocks import (
     append_blocked_index,
     blocked_from_index,
     compact_segments,
+    delete_from_blocked,
+    delete_from_store,
     merge_blocked_indexes,
     merge_blocked_many,
     read_blocked_index,
@@ -36,6 +38,8 @@ __all__ = [
     "BlockSearchEngine",
     "append_blocked_index",
     "compact_segments",
+    "delete_from_blocked",
+    "delete_from_store",
     "merge_blocked_indexes",
     "merge_blocked_many",
     "Engine",

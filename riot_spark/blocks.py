@@ -2621,6 +2621,42 @@ def delete_from_blocked(
     )
 
 
+def delete_from_store(
+    spark: SparkSession, path: str, doc_ids: list[int]
+) -> dict:
+    """Persisted twin of :func:`delete_from_blocked`: apply the delete
+    to a stored index (folding LSM segments first, so the tombstones
+    land exactly once) and swap the result in atomically — same
+    staging protocol as :func:`compact_segments`.  The rewrite is
+    O(corpus) in WRITTEN bytes (a new base replaces the old store),
+    but only the touched ranges are decoded/repacked; batch deletes
+    with appends between them amortize like compactions do."""
+    import shutil
+
+    merged = read_blocked_index(spark, path)
+    after = delete_from_blocked(merged, doc_ids, cache=False)
+    stage = f"{path}.deleting"
+    shutil.rmtree(stage, ignore_errors=True)
+    inputs: list[str] = []
+    for root, _, files in os.walk(path):
+        inputs.extend(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
+    m = write_blocked_index(
+        after, stage, input_paths=inputs,
+        config_repr=f"delete:{_input_fingerprint([], repr(sorted(set(map(int, doc_ids)))))}",
+    )
+    state = f"{path}/stream_state.json"
+    if os.path.exists(state):
+        shutil.copy(state, f"{stage}/stream_state.json")
+    old = f"{path}.predelete"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old)
+    return {"n_docs": after.n_docs, **m}
+
+
 def compact_segments(spark: SparkSession, path: str) -> dict:
     """Fold a store's LSM segments back into a single base — the
     periodic compaction that bounds read-side cost (each open folds

@@ -964,3 +964,46 @@ def test_delete_from_blocked_matches_flat(spark, locs_sf_index, locs_bindex):
     assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
         (r["doc_id"], np.float32(r["score"])) for r in want
     ]
+
+
+def test_delete_from_store_roundtrip(tmp_path, spark, locs_sf_index, locs_bindex):
+    """Persisted delete: tombstones applied to a segmented store (fold
+    first, delete once, atomic swap) must answer like the flat
+    remove_docs rebuild; the staging dirs are gone afterwards."""
+    import os
+
+    from riot_spark.blocks import append_blocked_index, delete_from_store
+    from riot_spark.engine import remove_docs
+
+    docs = load_documents(spark, SF_SMOKE)
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=8)
+    path = str(tmp_path / "del_store")
+    write_blocked_index(
+        blocked_from_index(
+            build_index(docs.where(F.col("doc_id") < 300), cfg),
+            doc_block_bits=6,
+        ),
+        path, input_paths=[], config_repr="a",
+    )
+    append_blocked_index(
+        blocked_from_index(
+            build_index(docs.where(F.col("doc_id") >= 300), cfg),
+            doc_block_bits=6,
+        ),
+        path, input_paths=[], config_repr="b",
+    )
+    dead = list(range(0, 400, 7))
+    m = delete_from_store(spark, path, dead)
+    assert not os.path.exists(f"{path}.deleting")
+    assert not os.path.exists(f"{path}.predelete")
+    bi = read_blocked_index(spark, path)
+    assert bi.n_docs == m["n_docs"] == 500 - len(dead)
+    flat = SearchEngine(remove_docs(locs_sf_index, dead))
+    got = BlockSearchEngine(bi).search_and(["data", "query"], k=30).collect()
+    want = flat.search(
+        SearchRequest(tokens=["data", "query"], scorer="float32",
+                      max_outputs=30)
+    ).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
+        (r["doc_id"], np.float32(r["score"])) for r in want
+    ]
