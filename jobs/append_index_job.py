@@ -67,7 +67,9 @@ def main(argv: list[str]) -> int:
         hi = stored.blocks.agg(F.max("last_doc_id")).first()[0]
         first_id = int(hi) + 1 if hi is not None else 0
     if args.synthetic:
-        pages = generate_pages(spark, args.synthetic)
+        pages = generate_pages(
+            spark, args.synthetic, start=args.synthetic_offset
+        )
         input_paths: list[str] = []
     else:
         if not args.input:
@@ -89,11 +91,19 @@ def main(argv: list[str]) -> int:
     delta = blocked_from_index(
         idx, doc_block_bits=args.block_bits, cache=False
     )
+    # the fingerprint must identify the INPUT, not the store state:
+    # the auto-derived first_id changes after every append, so baking
+    # it in would defeat the skip on a re-run with unchanged input.
+    # An EXPLICIT --first-doc-id is part of the request and stays.
+    id_repr = args.first_doc_id if args.first_doc_id >= 0 else "auto"
     m = append_blocked_index(
         delta,
         args.store,
         input_paths=input_paths,
-        config_repr=f"append:{cfg!r}:{args.block_bits}:{first_id}",
+        config_repr=(
+            f"append:{cfg!r}:{args.block_bits}:{id_repr}"
+            f":synthetic={args.synthetic}:{args.synthetic_offset}"
+        ),
     )
     compacted = False
     if args.compact_above:

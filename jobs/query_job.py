@@ -29,6 +29,7 @@ import json
 import sys
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def main(argv: list[str]) -> int:
@@ -53,7 +54,12 @@ def main(argv: list[str]) -> int:
         )
         for qi, qtext in enumerate(args.query)
     }
-    res = eng.search_batch(reqs)  # ONE action for the whole query set
+    # ONE action for the whole query set.  Ranks stay riot's float32
+    # semantics; the cast keeps the job's output contract (score
+    # DOUBLE) for downstream readers of earlier outputs.
+    res = eng.search_batch(reqs).withColumn(
+        "score", F.col("score").cast("double")
+    )
     if args.output:
         res.write.mode("overwrite").parquet(args.output)
     else:

@@ -58,6 +58,14 @@ from riot_spark.codec import (
 )
 from riot_spark.config import LOCS_INDEX, BM25Params
 
+class AppendOnlyViolation(ValueError):
+    """A delta's doc-id range overlaps data already in the store —
+    the append-only contract of the LSM layer.  Deliberately its own
+    type: callers with a fallback (streaming re-add -> full rebuild)
+    must not swallow OTHER ValueErrors (mode/params mismatches) as if
+    they were re-adds."""
+
+
 BLOCKS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -542,15 +550,21 @@ def merge_blocked_many(
             )
         if p.params != first.params:
             raise ValueError("BM25 parameters differ between the stores")
+    # a part can carry stats but ZERO block rows (every doc
+    # stopworded/empty): it still contributes N/avgdl, but has no
+    # range to check or rows to union
     ranges = []
     for p in parts:
         r = p.blocks.agg(
             F.min("first_doc_id").alias("lo"), F.max("last_doc_id").alias("hi")
         ).first()
-        ranges.append((int(r["lo"]), int(r["hi"])))
-    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        ranges.append(
+            None if r["lo"] is None else (int(r["lo"]), int(r["hi"]))
+        )
+    present = [rg for rg in ranges if rg is not None]
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(present, present[1:]):
         if lo_b <= hi_a:
-            raise ValueError(
+            raise AppendOnlyViolation(
                 f"segment doc-id ranges must be strictly increasing "
                 f"({lo_b} <= {hi_a}) — merge is append-only"
             )
@@ -558,12 +572,23 @@ def merge_blocked_many(
     avgdl = sum(p.avgdl * p.n_docs for p in parts) / n_docs
     tagged = []
     for side, p in enumerate(parts):
+        if ranges[side] is None:
+            continue
         f = max(1.0, avgdl / p.avgdl) if p.avgdl else 1.0
         tagged.append(
             p.blocks.withColumn(
                 "norm_max",
                 (F.col("norm_max").cast("double") * F.lit(f)).cast("float"),
             ).withColumn("side", F.lit(side))
+        )
+    if not tagged:
+        return BlockedIndex(
+            blocks=parts[0].blocks,
+            term_stats=parts[0].term_stats,
+            n_docs=n_docs,
+            avgdl=avgdl,
+            params=first.params,
+            has_positions=first.has_positions,
         )
     union = tagged[0]
     for t in tagged[1:]:
@@ -578,10 +603,10 @@ def merge_blocked_many(
         .select("block_id")
         .collect()
     ]
-    if len(shared) >= len(parts):
+    if len(shared) >= len(tagged):
         raise AssertionError(
             f"append-only segments share {len(shared)} doc ranges; "
-            f"expected < {len(parts)} (tail/head boundaries only)"
+            f"expected < {len(tagged)} (tail/head boundaries only)"
         )
     if shared:
         plain = union.where(~F.col("block_id").isin(shared)).drop("side")
@@ -618,7 +643,7 @@ def merge_blocked_many(
                     off += int(r["n"])
                 positions = pack_position_lists(lists)
             else:
-                positions = None if locs and not is_label else head["positions"]
+                positions = head["positions"]  # None for freq/label rows
             return pd.DataFrame(
                 {
                     "term": [head["term"]],
@@ -1759,9 +1784,7 @@ class BlockSearchEngine:
                     # every query provably empty (no range holds all
                     # of any query's terms)
                     else spark.createDataFrame(
-                        [],
-                        "query_id STRING, doc_id LONG, score "
-                        + ("DOUBLE" if double_scores else "FLOAT"),
+                        [], f"query_id STRING, doc_id LONG, score {score_type}"
                     )
                 )
                 for sdf in scored_parts[1:]:
@@ -2411,15 +2434,27 @@ def append_blocked_index(
         raise ValueError(f"no base store at {path} — write_blocked_index first")
     spark = bindex.blocks.sparkSession
     fp = _input_fingerprint(input_paths or [], config_repr)
+    import shutil
+
     seg_root = f"{path}/segments"
     existing = sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []
+    done: list[str] = []
     for seg in existing:
         mpath = f"{seg_root}/{seg}/manifest.json"
+        m = None
         if os.path.exists(mpath):
             with open(mpath) as f:
                 m = json.load(f)
-            if m.get("input_fingerprint") == fp and m.get("status") == "done":
-                return {"skipped": True, "segment": seg, **m}
+        if not m or m.get("status") != "done":
+            # a crashed append left a partial segment (the manifest is
+            # written LAST, so it is the commit marker): remove it —
+            # readers skip it too, but a retry must not collide
+            shutil.rmtree(f"{seg_root}/{seg}", ignore_errors=True)
+            continue
+        done.append(seg)
+        if m.get("input_fingerprint") == fp:
+            return {"skipped": True, "segment": seg, **m}
+    existing = done
     stored = read_blocked_index(spark, path)
     if stored.has_positions != bindex.has_positions:
         raise ValueError("cannot append a different index mode to this store")
@@ -2428,11 +2463,11 @@ def append_blocked_index(
     hi = stored.blocks.agg(F.max("last_doc_id").alias("hi")).first()["hi"]
     lo = bindex.blocks.agg(F.min("first_doc_id").alias("lo")).first()["lo"]
     if hi is not None and lo is not None and int(lo) <= int(hi):
-        raise ValueError(
+        raise AppendOnlyViolation(
             f"append-only: delta doc ids must exceed the stored maximum "
             f"({int(lo)} <= {int(hi)})"
         )
-    seg = f"{len(existing):06d}"
+    seg = f"{(int(existing[-1]) + 1 if existing else 0):06d}"
     m = write_blocked_index(
         bindex, f"{seg_root}/{seg}", input_paths=input_paths,
         config_repr=config_repr,
@@ -2470,7 +2505,11 @@ def delete_from_blocked(
     overlap = (F.col("tomb_id") >= F.col("first_doc_id")) & (
         F.col("tomb_id") <= F.col("last_doc_id")
     )
-    affected = bi.blocks.join(tomb, overlap, "left_semi").persist()
+    affected = bi.blocks.join(tomb, overlap, "left_semi")
+    if cache:
+        # reused by the rewrite, the dl extraction and the df agg;
+        # released below once the result blocks are materialized
+        affected = affected.persist()
     untouched = bi.blocks.join(tomb, overlap, "left_anti")
     id_list = [int(d) for d in ids]
 
@@ -2611,6 +2650,8 @@ def delete_from_blocked(
     )
     if cache:
         blocks = blocks.cache()
+        blocks.count()  # materialize so the scratch can be released
+        affected.unpersist()
     return BlockedIndex(
         blocks=blocks,
         term_stats=term_stats,
@@ -2723,9 +2764,18 @@ def read_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
     )
     seg_root = f"{path}/segments"
     segs = sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []
-    if not segs:
+    committed = []
+    for seg in segs:
+        mpath = f"{seg_root}/{seg}/manifest.json"
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                if json.load(f).get("status") == "done":
+                    committed.append(seg)
+        # a segment without a done manifest is a crashed append —
+        # never committed, skipped here, removed by the next append
+    if not committed:
         return root
     parts = [root] + [
-        read_blocked_index(spark, f"{seg_root}/{s}") for s in segs
+        read_blocked_index(spark, f"{seg_root}/{s}") for s in committed
     ]
     return merge_blocked_many(parts, cache=False)

@@ -90,7 +90,8 @@ _ZH_SNIPPETS = ["有七十亿人口", "世界 你好", "人口 众多"]
 
 
 def generate_pages(
-    spark: SparkSession, n_docs: int, n_parts: int | None = None
+    spark: SparkSession, n_docs: int, n_parts: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
     """Deterministic synthetic Common-Crawl-style pages (FIXTURES.md §1).
 
@@ -129,7 +130,9 @@ def generate_pages(
 
     if n_parts is None:
         n_parts = max(1, min(256, n_docs // 2000 + 1))
-    return spark.range(0, n_docs, numPartitions=n_parts).mapInPandas(
+    # `start` shifts the GLOBAL page ids (content is a pure function
+    # of the id), so [start, start+n) really is the next crawl slice
+    return spark.range(start, start + n_docs, numPartitions=n_parts).mapInPandas(
         gen, schema=PAGES_SCHEMA
     )
 

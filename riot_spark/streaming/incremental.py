@@ -219,6 +219,7 @@ class StreamingIndexer:
         import shutil
 
         from riot_spark.blocks import (
+            AppendOnlyViolation,
             append_blocked_index,
             blocked_from_index,
             read_blocked_index,
@@ -238,14 +239,26 @@ class StreamingIndexer:
             return read_blocked_index(self.spark, store_path), "noop"
 
         def _full_rebuild():
-            shutil.rmtree(f"{store_path}/segments", ignore_errors=True)
+            # staged + atomic, like compact_segments: a crash mid-
+            # rebuild must never leave the live store with its
+            # segments deleted but the base not yet rewritten
             idx = self.build_live_index()
             bi = blocked_from_index(idx, doc_block_bits=doc_block_bits)
+            stage = f"{store_path}.rebuilding"
+            shutil.rmtree(stage, ignore_errors=True)
             write_blocked_index(
-                bi, store_path,
+                bi, stage,
                 input_paths=self._window_files(-1),
                 config_repr=f"stream:{self.config!r}:{doc_block_bits}",
             )
+            if os.path.exists(store_path):
+                old_dir = f"{store_path}.prerebuild"
+                shutil.rmtree(old_dir, ignore_errors=True)
+                os.rename(store_path, old_dir)
+                os.rename(stage, store_path)
+                shutil.rmtree(old_dir)
+            else:
+                os.rename(stage, store_path)
 
         mode = None
         if last < 0 or not os.path.exists(f"{store_path}/manifest.json"):
@@ -266,9 +279,11 @@ class StreamingIndexer:
                     config_repr=f"stream:{self.config!r}:{doc_block_bits}",
                 )
                 mode = "appended"
-            except ValueError:
+            except AppendOnlyViolation:
                 # a window doc id already lives in the store (re-add):
-                # one full rebuild restores the append-only invariant
+                # one full rebuild restores the append-only invariant.
+                # ONLY this exception falls back — a mode/params
+                # mismatch must raise, not silently replace the store
                 _full_rebuild()
                 mode = "rebuilt"
         with open(state_path, "w") as f:

@@ -1007,3 +1007,68 @@ def test_delete_from_store_roundtrip(tmp_path, spark, locs_sf_index, locs_bindex
     assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
         (r["doc_id"], np.float32(r["score"])) for r in want
     ]
+
+
+def test_append_empty_delta_and_partial_segment(tmp_path, spark, sf_index, bindex):
+    """Review hardening: (a) a delta with docs but ZERO postings
+    (everything stopworded) appends and reads back — its N/avgdl
+    contribution counts, the fold doesn't crash on the empty part;
+    (b) a crashed append's partial segment (no committed manifest) is
+    skipped by readers and cleaned by the next append, which numbers
+    past it without collision."""
+    import json as _json
+    import os
+
+    from riot_spark.blocks import append_blocked_index
+    from riot_spark.config import FREQUENCIES_INDEX
+
+    docs = load_documents(spark, SF_SMOKE)
+    path = str(tmp_path / "hard_store")
+    write_blocked_index(bindex, path, input_paths=[], config_repr="base")
+
+    # (a) all-stopword delta: postings empty, n_docs > 0
+    every_word = {
+        r["term"] for r in sf_index.term_stats.select("term").collect()
+    }
+    cfg_stop = EngineConfig(
+        index_type=FREQUENCIES_INDEX, num_index_partitions=4,
+        stopwords=frozenset(every_word),
+    )
+    empty_delta = blocked_from_index(
+        build_index(
+            docs.where(F.col("doc_id") < 10).withColumn(
+                "doc_id", F.col("doc_id") + 1000
+            ),
+            cfg_stop,
+        ),
+        doc_block_bits=6,
+    )
+    assert empty_delta.blocks.count() == 0 and empty_delta.n_docs == 10
+    m = append_blocked_index(empty_delta, path, input_paths=[],
+                             config_repr="empty")
+    assert not m["skipped"]
+    folded = read_blocked_index(spark, path)
+    assert folded.n_docs == 510  # the postings-free docs still count
+    got = BlockSearchEngine(folded).search_and(["data", "query"], k=5)
+    assert got.count() == 5
+
+    # (b) a partial segment: dir exists, no committed manifest
+    os.makedirs(f"{path}/segments/000001/blocks", exist_ok=True)
+    with open(f"{path}/segments/000001/manifest.json", "w") as f:
+        _json.dump({"status": "running"}, f)
+    assert read_blocked_index(spark, path).n_docs == 510  # skipped
+    delta = blocked_from_index(
+        build_index(
+            docs.where(F.col("doc_id") < 20).withColumn(
+                "doc_id", F.col("doc_id") + 2000
+            ),
+            EngineConfig(index_type=FREQUENCIES_INDEX,
+                         num_index_partitions=4),
+        ),
+        doc_block_bits=6,
+    )
+    m2 = append_blocked_index(delta, path, input_paths=[], config_repr="d2")
+    assert m2["segment"] == "000001"  # partial removed, slot reused
+    with open(f"{path}/segments/000001/manifest.json") as f:
+        assert _json.load(f)["status"] == "done"
+    assert read_blocked_index(spark, path).n_docs == 530

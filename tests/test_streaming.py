@@ -215,3 +215,36 @@ def test_incremental_lsm_compaction(spark, tmp_path):
     assert not os.path.isdir(f"{store}/segments") or not os.listdir(
         f"{store}/segments"
     )
+
+
+def test_incremental_compaction_mode_mismatch_raises(spark, tmp_path):
+    """Review hardening: only the append-only violation falls back to
+    a full rebuild — an index-mode mismatch must raise, never silently
+    replace the store with this stream's docs."""
+    import pytest
+
+    from riot_spark.blocks import blocked_from_index, write_blocked_index
+    from riot_spark.config import LOCS_INDEX
+
+    store = str(tmp_path / "locs_store")
+    cfg_locs = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=4)
+    write_blocked_index(
+        blocked_from_index(
+            build_index(_docs(spark, [(1, "hello world data")]), cfg_locs),
+            doc_block_bits=6,
+        ),
+        store, input_paths=[], config_repr="locs-base",
+    )
+    cfg_freq = EngineConfig(index_type=FREQUENCIES_INDEX,
+                            num_index_partitions=4)
+    sx = StreamingIndexer(spark, str(tmp_path / "freq_stream"), cfg_freq)
+    sx.process_batch(_docs(spark, [(100, "data query engine")]), 0)
+    sx.process_batch(_docs(spark, [(101, "spark data table")]), 1)
+    # seed the sidecar past batch 0 so the APPEND path is taken for
+    # batch 1 (last_batch < 0 would route to the initial full build)
+    import json as _json
+
+    with open(f"{store}/stream_state.json", "w") as f:
+        _json.dump({"last_batch": 0}, f)
+    with pytest.raises(ValueError, match="index mode"):
+        sx.compact_to_blocks_incremental(store, doc_block_bits=6)

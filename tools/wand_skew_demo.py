@@ -63,6 +63,20 @@ def main() -> int:
     n_blocks = bi.blocks.count()
     print(f"built+packed {n_blocks} block rows in {time.monotonic() - t0:.1f}s")
 
+    if "--store" in sys.argv:
+        # the DISK-RESIDENT shape: persist, drop every cache, reopen
+        # raw — now a pruned range is parquet bytes never read (the
+        # In(block_id) pushdown prunes row groups on the sorted store)
+        from riot_spark.blocks import read_blocked_index, write_blocked_index
+
+        store = "/tmp/wand_skew_store"
+        write_blocked_index(bi, store, input_paths=[], config_repr="demo")
+        bi.blocks.unpersist()
+        idx.postings.unpersist()
+        spark.catalog.clearCache()
+        bi = read_blocked_index(spark, store)
+        print(f"store persisted to {store}; caches dropped (cold reads)")
+
     term = "trafficpeak"
     total = bi.blocks.where(F.col("term") == term).count()
 
