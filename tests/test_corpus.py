@@ -87,3 +87,20 @@ def test_extract_text_catalyst_edge_parity(spark):
     }
     for i, c in enumerate(cases):
         assert got[i] == extract_text(c), (i, c)
+
+
+def test_generate_pages_start_offset(spark):
+    """generate_pages(start=k) yields EXACTLY the rows [k, k+n) of the
+    global deterministic corpus — the next-crawl-slice contract the
+    append job's --synthetic-offset relies on."""
+    whole = {
+        r["url"]: (bytes(r["html"]), r["text"], r["lang"])
+        for r in generate_pages(spark, 8).collect()
+    }
+    part = {
+        r["url"]: (bytes(r["html"]), r["text"], r["lang"])
+        for r in generate_pages(spark, 5, start=3).collect()
+    }
+    assert len(part) == 5
+    for url, v in part.items():
+        assert whole[url] == v
