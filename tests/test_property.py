@@ -15,6 +15,7 @@ import numpy as np
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from riot_spark.build import build_index
 from riot_spark.config import EngineConfig, LOCS_INDEX
@@ -360,3 +361,56 @@ def test_block_batch_random_shapes_match_flat(engines, block_engine, shapes):
             [r["score"] for r in g], [r["score"] for r in w],
             rtol=1e-5, atol=1e-6, err_msg=qid,
         )
+
+
+@given(
+    cuts=st.lists(
+        st.integers(min_value=1, max_value=119), min_size=1, max_size=3,
+        unique=True,
+    ),
+    toks=st.lists(
+        st.sampled_from(VOCAB[:15]), min_size=1, max_size=3, unique=True
+    ),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lsm_fold_random_cuts_match_full_build(spark, engines, cuts, toks):
+    """Property: splitting the corpus at ANY random doc-id cut points,
+    packing each slice as its own block store and folding them with
+    merge_blocked_many answers exactly like the one-shot full build —
+    boundary ranges, rescaled WAND metadata, re-weighted stats and
+    all."""
+    from riot_spark.blocks import (
+        BlockSearchEngine, blocked_from_index, merge_blocked_many,
+    )
+
+    eng, _ = engines
+    rows = _corpus()
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=4)
+    bounds = [0] + sorted(cuts) + [120]
+    parts = [
+        blocked_from_index(
+            build_index(
+                docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ),
+                cfg,
+            ),
+            doc_block_bits=4,  # 16-doc ranges: every cut hits a boundary
+            cache=False,
+        )
+        for lo, hi in zip(bounds, bounds[1:])
+        if lo < hi
+    ]
+    merged = merge_blocked_many(parts, cache=False)
+    got = BlockSearchEngine(merged).search_and(list(toks), k=30).collect()
+    want = eng.search(
+        SearchRequest(tokens=list(toks), scorer="float32", max_outputs=30)
+    ).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
+        (r["doc_id"], np.float32(r["score"])) for r in want
+    ]
