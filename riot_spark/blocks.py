@@ -611,6 +611,20 @@ def merge_blocked_many(
     if shared:
         plain = union.where(~F.col("block_id").isin(shared)).drop("side")
         bnd = union.where(F.col("block_id").isin(shared))
+        # only keys written by MORE THAN ONE segment repack; a boundary
+        # range's single-segment rows (the vocabulary tail) flow
+        # through untouched and keep predicate pushdown
+        keys = ["term", "block_id", "is_label"]
+        multi = (
+            bnd.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .drop("c")
+        )
+        bnd_single = bnd.join(F.broadcast(multi), keys, "left_anti").drop(
+            "side"
+        )
+        bnd = bnd.join(F.broadcast(multi), keys, "left_semi")
         locs = first.has_positions
 
         def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -665,7 +679,15 @@ def merge_blocked_many(
         merged_bnd = bnd.groupBy("term", "block_id", "is_label").applyInPandas(
             lambda _key, pdf: merge_rows(pdf), BLOCKS_SCHEMA
         )
-        blocks = plain.unionByName(merged_bnd)
+        # ALWAYS materialized (even under cache=False): a query filter
+        # cannot push below the applyInPandas barrier, so an unpersisted
+        # boundary kernel would repack the whole boundary vocabulary on
+        # EVERY query (measured 10+s/query on a 1M store).  Bounded:
+        # ≤ 2·|terms both segments share in a boundary range| rows,
+        # decoded once for the life of the index.
+        merged_bnd = merged_bnd.persist()
+        merged_bnd.count()
+        blocks = plain.unionByName(bnd_single).unionByName(merged_bnd)
     else:
         blocks = union.drop("side")
     term_stats = parts[0].term_stats
