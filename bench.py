@@ -182,11 +182,14 @@ def main() -> None:
     mixed["w1"] = SearchRequest(tokens=["data"],
                                 doc_ids=list(range(0, 200, 2)), max_outputs=50)
 
-    def run_mixed():
+    # flat-path A/B witness for the canonical mixed row below (the
+    # block path is the default executor once blocks are attached;
+    # this row is the same set on the flat fallback, measured in the
+    # SAME session so host variance can't fake a regression)
+    def run_flat_mixed():
         leng.search_batch(mixed).collect()
 
-    t_mixed = timed(run_mixed)
-    queries[f"batch_mixed{len(mixed)}q"] = t_mixed
+    queries[f"batch_flat_mixed{len(mixed)}q"] = timed(run_flat_mixed)
 
     from riot_spark.blocks import BlockSearchEngine, blocked_from_index
 
@@ -212,18 +215,20 @@ def main() -> None:
         lambda: beng.search_and(["data", "query"], proximity=True).collect()
     )
 
-    # block-path batched execution — the QPS story on the packed
-    # layout that exists at 100 TB (flat postings are the correctness
-    # twin you cannot afford to keep at scale). The FULL mixed set:
-    # every shape family (AND/rev/whitelist, proximity-criteria,
-    # logic, count, orderless) batches on blocks too.
-    block_mixed = dict(mixed)
+    # CANONICAL mixed batch: the full shape surface (AND/rev/
+    # whitelist, proximity-criteria, logic, count, orderless) through
+    # the default dispatch — attach_blocks makes the packed block
+    # executor the default and flat the fallback, so this row rides
+    # the engine that exists at 100 TB (r03 A/B: 1.82 s block vs
+    # 3.81 s flat for the same set).
+    leng.attach_blocks(bi)
 
-    def run_block_mixed():
-        beng.search_batch(block_mixed).collect()
+    def run_mixed():
+        leng.search_batch(mixed).collect()
 
-    t_bmixed = timed(run_block_mixed)
-    queries[f"batch_block_{len(block_mixed)}q"] = t_bmixed
+    t_mixed = timed(run_mixed)
+    queries[f"batch_mixed{len(mixed)}q"] = t_mixed
+    t_bmixed = t_mixed  # canonical row IS the block path now
 
     total = sum(queries.values())
     out = {
@@ -240,7 +245,7 @@ def main() -> None:
         "query_p95_s": round(p95, 4),
         "batch_queries_per_sec": round(batch_qps, 2),
         "mixed_batch_queries_per_sec": round(len(mixed) / t_mixed, 2),
-        "block_batch_queries_per_sec": round(len(block_mixed) / t_bmixed, 2),
+        "block_batch_queries_per_sec": round(len(mixed) / t_bmixed, 2),
         "pages_build_entries_per_sec": pages_entries_per_sec,
         "pack_postings_per_sec": pack_postings_per_sec,
         "cpus": cpus,

@@ -186,8 +186,49 @@ class SearchEngine:
 
     def __init__(self, index: Index, cache_term_stats: bool = True):
         self.index = index
+        self._blocks = None  # packed twin; see attach_blocks
+        self._block_engine_inst = None
         if cache_term_stats:
             index.ensure_term_cache()
+
+    def attach_blocks(self, blocked) -> "SearchEngine":
+        """Attach a packed :class:`riot_spark.blocks.BlockedIndex`
+        twin.  Once attached, :meth:`search_batch` rides the block
+        executor by default — the same mixed 20-query set costs ~2x
+        less there (r03: 1.82 s block vs 3.81 s flat at sf0.1) because
+        each packed range decodes once per batch instead of one
+        postings aggregation per shape family — and the flat path
+        becomes the FALLBACK for the few shapes blocks can't batch
+        (callable criteria, logic+count/orderless/reverse combos).
+        Score contract: the block executor scores in riot-bit-exact
+        float32 (the reference's own precision, types/search_response
+        float32 scores) — bit-identical to this engine's
+        scorer='float32' kernel and equal to the 'native' double twin
+        to ~1e-7 relative; counts stay exact doubles either way."""
+        self._blocks = blocked
+        self._block_engine_inst = None
+        return self
+
+    @staticmethod
+    def _block_batchable(req, has_positions: bool) -> bool:
+        """Mirror of BlockSearchEngine.search_batch's shape gate: True
+        iff the request batches on the packed layout (so dispatch
+        never trips the block path's loud ValueError)."""
+        is_logic = bool(req.must or req.should or req.not_in)
+        if not is_logic:
+            if req.count_docs_only or req.orderless:
+                return True
+            if req.criteria == "bm25":
+                return True
+            if req.criteria == "proximity":
+                return has_positions
+            return False  # callable ScoringCriteria
+        return (
+            not req.count_docs_only
+            and not req.orderless
+            and not req.reverse_order
+            and req.criteria == "bm25"
+        )
 
     # ---------------------------------------------------------- internals
 
@@ -604,10 +645,27 @@ class SearchEngine:
         groups: dict[tuple, list[str]] = {}
         for qid, req in requests.items():
             groups.setdefault(key(req), []).append(qid)
+        # default executor: the packed block path when a blocked twin
+        # is attached and every request batches there (flat is the
+        # fallback, not the default — attach_blocks)
+        exec_fn = self._search_batch_exec
+        if self._blocks is not None and all(
+            self._block_batchable(r, self._blocks.has_positions)
+            for r in requests.values()
+        ):
+            if self._block_engine_inst is None:
+                from riot_spark.blocks import BlockSearchEngine
+
+                self._block_engine_inst = BlockSearchEngine(self._blocks)
+            exec_fn = (
+                lambda reqs, dbl: self._block_engine_inst.search_batch(
+                    reqs, double_scores=dbl
+                )
+            )
         if all(len(v) == 1 for v in groups.values()):
-            return self._search_batch_exec(requests, double_scores)
+            return exec_fn(requests, double_scores)
         reps = {v[0]: requests[v[0]] for v in groups.values()}
-        res = self._search_batch_exec(reps, double_scores)
+        res = exec_fn(reps, double_scores)
         mapping = [(v[0], qid) for v in groups.values() for qid in v]
         mdf = self._spark().createDataFrame(
             mapping, "rep_id STRING, query_id STRING"
