@@ -2474,6 +2474,7 @@ def append_blocked_index(
     path: str,
     input_paths: list[str] | None = None,
     config_repr: str = "",
+    max_fold_depth: int | None = None,
 ) -> dict:
     """Append a DELTA block store to a persisted store as a new LSM
     SEGMENT — the persisted twin of :func:`merge_blocked_many`.
@@ -2490,7 +2491,16 @@ def append_blocked_index(
     just at read: the delta's smallest doc id must exceed the stored
     store's largest.  Re-appending an identical input (same
     fingerprint as any existing segment) is a skip, keyed the same way
-    as write_blocked_index's resume."""
+    as write_blocked_index's resume.
+
+    ``max_fold_depth`` is the automatic compaction policy: every open
+    folds root + live segments, so read-side cost grows with segment
+    count (one boundary repack per adjacent pair); when the committed
+    segment count after this append reaches the threshold,
+    :func:`compact_segments` runs inline (staged + atomic, same swap
+    protocol) and the result dict carries ``compacted=True``.  None
+    (default) keeps compaction manual — the base is then written once,
+    ever, and the caller owns read amplification."""
     if not os.path.exists(f"{path}/manifest.json"):
         raise ValueError(f"no base store at {path} — write_blocked_index first")
     spark = bindex.blocks.sparkSession
@@ -2533,7 +2543,12 @@ def append_blocked_index(
         bindex, f"{seg_root}/{seg}", input_paths=input_paths,
         config_repr=config_repr,
     )
-    return {"segment": seg, **m}
+    stored.release()
+    out = {"segment": seg, "compacted": False, **m}
+    if max_fold_depth is not None and len(existing) + 1 >= max_fold_depth:
+        cm = compact_segments(spark, path)
+        out["compacted"] = not cm.get("skipped", False)
+    return out
 
 
 def delete_from_blocked(

@@ -200,6 +200,7 @@ class StreamingIndexer:
         self,
         store_path: str,
         doc_block_bits: int = 13,
+        max_fold_depth: int | None = 8,
     ):
         """Incremental LSM compaction — the streaming write path kept
         O(new data): only the micro-batches that arrived since the
@@ -213,9 +214,17 @@ class StreamingIndexer:
         rebuild (`compact_to_blocks` semantics: segments dir cleared,
         base rewritten), after which appends resume.
 
+        ``max_fold_depth`` (default 8) caps read-side fold depth: a
+        long-running stream appends one segment per compaction call,
+        and every reader folds them all — when the segment count hits
+        the cap the append auto-compacts (blocks.compact_segments,
+        staged + atomic), so query cost stays bounded while append
+        cost stays O(increment) between compactions.  None = manual.
+
         Returns (BlockedIndex read back from the store, mode) with
-        mode ∈ 'initial' | 'appended' | 'noop' | 'rebuilt', or
-        (None, None) when the stream has produced nothing yet."""
+        mode ∈ 'initial' | 'appended' | 'compacted' | 'noop' |
+        'rebuilt', or (None, None) when the stream has produced
+        nothing yet."""
         import shutil
 
         from riot_spark.blocks import (
@@ -271,12 +280,13 @@ class StreamingIndexer:
                 delta_idx, doc_block_bits=doc_block_bits, cache=False
             )
             try:
-                append_blocked_index(
+                am = append_blocked_index(
                     delta_bi, store_path,
                     input_paths=self._window_files(last),
                     config_repr=f"stream:{self.config!r}:{doc_block_bits}",
+                    max_fold_depth=max_fold_depth,
                 )
-                mode = "appended"
+                mode = "compacted" if am.get("compacted") else "appended"
             except AppendOnlyViolation:
                 # a window doc id already lives in the store (re-add):
                 # one full rebuild restores the append-only invariant.

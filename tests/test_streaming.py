@@ -248,3 +248,62 @@ def test_incremental_compaction_mode_mismatch_raises(spark, tmp_path):
         _json.dump({"last_batch": 0}, f)
     with pytest.raises(ValueError, match="index mode"):
         sx.compact_to_blocks_incremental(store, doc_block_bits=6)
+
+
+def test_auto_compaction_fires_at_fold_depth(spark, tmp_path):
+    """max_fold_depth=2: the append that makes the SECOND live segment
+    auto-compacts the store (segments folded into the base, staged +
+    atomic), queries answer identically before/after, and the next
+    append starts a fresh segment 000000."""
+    import os
+
+    from riot_spark.blocks import BlockSearchEngine
+    from riot_spark.config import LOCS_INDEX
+
+    cfg = EngineConfig(index_type=LOCS_INDEX, num_index_partitions=4)
+    sx = StreamingIndexer(spark, str(tmp_path / "stream_idx"), cfg)
+    store = str(tmp_path / "lsm_auto")
+
+    sx.process_batch(_docs(spark, [(1, "hello world data"),
+                                   (2, "data query engine")]), 0)
+    ret = sx.compact_to_blocks_incremental(store, doc_block_bits=6,
+                                           max_fold_depth=2)
+    assert ret[1] == "initial"
+
+    sx.process_batch(_docs(spark, [(3, "world data spark")]), 1)
+    ret = sx.compact_to_blocks_incremental(store, doc_block_bits=6,
+                                           max_fold_depth=2)
+    assert ret[1] == "appended"
+    assert os.path.isdir(f"{store}/segments/000000")
+    before = BlockSearchEngine(ret[0]).search_and(["data"], k=0).collect()
+
+    # the 2nd segment hits the fold-depth cap => inline compaction
+    sx.process_batch(_docs(spark, [(4, "data depth trigger")]), 2)
+    ret = sx.compact_to_blocks_incremental(store, doc_block_bits=6,
+                                           max_fold_depth=2)
+    assert ret[1] == "compacted"
+    assert not os.path.isdir(f"{store}/segments") or not os.listdir(
+        f"{store}/segments"
+    )
+    got = BlockSearchEngine(ret[0]).search_and(["data"], k=0).collect()
+    got3 = [(r["doc_id"], np.float32(r["score"])) for r in got
+            if r["doc_id"] != 4]
+    want = build_index(
+        _docs(spark, [(1, "hello world data"), (2, "data query engine"),
+                      (3, "world data spark"), (4, "data depth trigger")]),
+        cfg,
+    )
+    wres = SearchEngine(want).search(
+        SearchRequest(tokens=["data"], scorer="float32")
+    ).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
+        (r["doc_id"], np.float32(r["score"])) for r in wres
+    ], got3
+
+    # appends resume on the compacted base at segment 000000
+    sx.process_batch(_docs(spark, [(5, "data resumes appending")]), 3)
+    ret = sx.compact_to_blocks_incremental(store, doc_block_bits=6,
+                                           max_fold_depth=4)
+    assert ret[1] == "appended"
+    assert os.path.isdir(f"{store}/segments/000000")
+    assert len(before) == 3  # sanity: pre-compaction snapshot used
