@@ -104,3 +104,30 @@ def test_generate_pages_start_offset(spark):
     assert len(part) == 5
     for url, v in part.items():
         assert whole[url] == v
+
+
+def test_pages_to_documents_is_jvm_only_and_window_exact(spark):
+    """Doc-id assignment must (a) contain NO Python stage in its plan
+    (the mapInPandas hop shipped the whole corpus through Arrow once)
+    and (b) agree byte-for-byte with the global window-function oracle
+    row_number() OVER (ORDER BY url) - 1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pages = generate_pages(spark, 300)
+    docs = pages_to_documents(pages, n_parts=7)
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan, node
+
+    got = {r["url"]: r["doc_id"] for r in docs.collect()}
+    oracle = (
+        pages.select("url")
+        .withColumn(
+            "doc_id",
+            F.row_number().over(Window.orderBy("url")) - 1,
+        )
+        .collect()
+    )
+    want = {r["url"]: r["doc_id"] for r in oracle}
+    assert got == want
