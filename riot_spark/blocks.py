@@ -1179,6 +1179,21 @@ class BlockSearchEngine:
         bounds = bounds.where(
             F.col("query_id").isin(sorted(prunable))
         )
+        # the one-pass JVM kernel is float32 (andScore); double_scores
+        # mode contracts float64 arithmetic (rounded to 4 decimals),
+        # which only the pandas kernel computes — so the oracle-parity
+        # mode keeps the exact two-phase walk and the performance mode
+        # rides the single pass
+        if (
+            not double_scores
+            and self.WAND_IMPL != "twophase"
+            and jvm_pack_available(spark)
+        ):
+            scored = self._wand_onepass_jvm(
+                matched, bounds, qmeta, m_by_qid, eps_by_qid, dfs,
+            )
+            if scored is not None:
+                return scored, fallback
         w = Window.partitionBy("query_id").orderBy(
             F.desc("bound"), F.asc("block_id")
         )
@@ -1237,6 +1252,76 @@ class BlockSearchEngine:
             qmeta, qsets, dfs, double_scores,
         )
         return score1.unionByName(score2), fallback
+
+    # WAND implementation: 'auto' = the one-pass JVM kernel with
+    # in-kernel τ pruning when riotspark.jar is on the classpath,
+    # falling back to the two-phase Python-orchestrated walk;
+    # 'twophase' forces the walk (the A/B twin, and the jarless path).
+    WAND_IMPL = "auto"
+
+    def _wand_onepass_jvm(
+        self,
+        matched: DataFrame,
+        bounds: DataFrame,
+        qmeta: list[tuple],
+        m_by_qid: dict[str, int],
+        eps_by_qid: dict[str, float],
+        dfs: dict[str, int],
+    ) -> DataFrame | None:
+        """Single-pass batched WAND (BlockQuery.scala::
+        searchAndBatchPruned): τ-threshold skipping folded INTO the
+        kernel, so the pruned plan costs one kernel pass instead of
+        two passes + a driver τ collect.  Block rows are colocated by
+        block_id and sorted within each task by the block's best
+        bound, descending — each task walks its most-promising ranges
+        first, exactly like a sequential WAND walk, and emits only its
+        local top-(offset+k) per query (downstream rank-slices the
+        union).  Exact by the same bound-domination argument as the
+        two-phase walk (differential-tested against it and against the
+        unpruned pass)."""
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        p = bi.params
+        qids, toks_b, idf_b, df_b, kws_b, wl_b, ms, eps = (
+            [], [], [], [], [], [], [], []
+        )
+        for qid, tokens, keywords, wl in qmeta:
+            qids.append(qid)
+            toks_b.append(list(tokens))
+            idf_b.append(
+                [
+                    float(np.float32(np.log2(bi.n_docs / dfs[t] + 1.0)))
+                    for t in tokens
+                ]
+            )
+            df_b.append([int(dfs[t]) for t in tokens])
+            kws_b.append(list(keywords))
+            wl_b.append(None if wl is None else [int(x) for x in wl])
+            ms.append(int(m_by_qid[qid]))
+            eps.append(float(eps_by_qid[qid]))
+        # per-block order key = best bound any query holds there; the
+        # bounds table is metadata-sized, its per-block max smaller
+        bkey = bounds.groupBy("block_id").agg(F.max("bound").alias("_bkey"))
+        cols = [
+            "term", "block_id", "is_label", "doc_ids", "tfs",
+            "token_lens", "norm_max",
+        ]
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        arranged = (
+            matched.select(cols)
+            .join(F.broadcast(bkey), "block_id")
+            .repartition(n_parts, "block_id")
+            .sortWithinPartitions(F.desc("_bkey"), "block_id")
+            .select(cols)  # positional contract for the kernel
+        )
+        jdf = spark._jvm.riotspark.BlockQuery.searchAndBatchPruned(
+            arranged._jdf,
+            qids, toks_b, idf_b, df_b, kws_b,
+            float(p.k1), float(p.b), float(bi.avgdl),
+            bool(bi.has_positions), wl_b,
+            ms, False, 0.0, eps,
+        )
+        return DataFrame(jdf, spark)
 
     # scan-pushdown cap for a WAND phase's selected range-id set: at
     # or below this size the ids are collected and applied as an In()

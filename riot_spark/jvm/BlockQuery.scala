@@ -472,6 +472,208 @@ object BlockQuery {
     }(Encoders.row(batchSchema))
   }
 
+  // ------------------------------------------- one-pass pruned batch
+
+  /** One top-m candidate: raw float32 score plus the ranking key the
+   *  caller's final slice will use (round-half-up to 4 decimals in
+   *  double_scores mode, the raw score widened otherwise). */
+  private final class Cand(val docId: Long, val score: Float, val key: Double)
+
+  /** min-heap order = WORST candidate first under the caller's final
+   *  total order (key desc, doc_id asc) — so peek() is the row the
+   *  next better candidate evicts. */
+  private val candOrd: java.util.Comparator[Cand] =
+    new java.util.Comparator[Cand] {
+      def compare(a: Cand, b: Cand): Int = {
+        val c = java.lang.Double.compare(a.key, b.key)
+        if (c != 0) c else java.lang.Long.compare(b.docId, a.docId)
+      }
+    }
+
+  /** Spark's F.round(col, 4) on a double: HALF_UP over the shortest
+   *  decimal representation — reproduced exactly so the kernel's
+   *  top-m selection uses the SAME total order as the caller's final
+   *  rank slice. */
+  private def round4(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Single-pass batched block-max WAND: τ-threshold pruning INSIDE
+   *  the kernel (riot's early-exit at core/indexer.go:468-471, lifted
+   *  to block granularity) instead of the Python-orchestrated
+   *  two-phase walk (score top-C ranges -> collect per-query τ ->
+   *  second kernel pass).  One kernel pass, no driver round-trips.
+   *
+   *  `df` ships (term, block_id, is_label, doc_ids, tfs, token_lens,
+   *  norm_max), block-colocated and sorted WITHIN each partition by
+   *  the per-block best bound, descending — so each task sees its
+   *  most-promising ranges first and its per-query τ tightens as
+   *  early as a sequential WAND walk would.
+   *
+   *  Per task, per query: a bounded top-m selector ordered by the
+   *  caller's FINAL total order (round-half-up 4-decimal key in
+   *  double_scores mode).  A block is skipped for query q when its
+   *  metadata bound Σ idf·norm_max < (τ_q − slack − eps)/(1 + eps),
+   *  where τ_q is the minimum RAW score in q's full selector — a
+   *  lower bound on anything the selector holds, so no global
+   *  top-(offset+k) row is ever pruned (the union of task-local top-m
+   *  sets contains the global top-m).  A block every query skips is
+   *  never decoded at all.  slack (1e-4 in double_scores mode) keeps
+   *  docs that could round into a tie at the caller's 4-decimal
+   *  granularity; eps absorbs float32-vs-double bound arithmetic. */
+  def searchAndBatchPruned(
+      df: DataFrame,
+      qids: java.util.List[String],
+      tokTermsB: java.util.List[java.util.List[String]],
+      tokIdfB: java.util.List[java.util.List[java.lang.Number]],
+      tokDfB: java.util.List[java.util.List[java.lang.Number]],
+      kwTermsB: java.util.List[java.util.List[String]],
+      k1d: Double, bd: Double, avgdld: Double,
+      locsMode: Boolean,
+      whitelists: java.util.List[java.util.List[java.lang.Number]],
+      ms: java.util.List[java.lang.Number],
+      roundKeys: Boolean,
+      slackD: Double,
+      epsB: java.util.List[java.lang.Number]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val nQ = qids.size
+    val qid = qids.asScala.toArray
+    val toksB = new Array[Array[String]](nQ)
+    val idfB = new Array[Array[Float]](nQ)
+    val dfB = new Array[Array[Long]](nQ)
+    val kwsB = new Array[Array[String]](nQ)
+    val kwsDistinctB = new Array[Array[String]](nQ)
+    val wlB = new Array[Array[Long]](nQ)
+    val mB = new Array[Int](nQ)
+    val epsA = new Array[Double](nQ)
+    var q = 0
+    while (q < nQ) {
+      toksB(q) = tokTermsB.get(q).asScala.toArray
+      idfB(q) = tokIdfB.get(q).asScala.map(_.doubleValue.toFloat).toArray
+      dfB(q) = tokDfB.get(q).asScala.map(_.longValue).toArray
+      kwsB(q) = kwTermsB.get(q).asScala.toArray
+      kwsDistinctB(q) = kwsB(q).distinct
+      val w = whitelists.get(q)
+      wlB(q) = if (w == null) null else w.asScala.map(_.longValue).toArray
+      mB(q) = ms.get(q).intValue
+      epsA(q) = epsB.get(q).doubleValue
+      q += 1
+    }
+    val k1 = k1d.toFloat
+    val b = bd.toFloat
+    val avg = avgdld.toFloat
+
+    df.mapPartitions { rows =>
+      val heaps = Array.fill(nQ)(
+        new java.util.PriorityQueue[Cand](candOrd))
+      val buf = new ArrayBuffer[Row]()
+      var curBlock = Long.MinValue
+
+      def offer(qi: Int, docId: Long, score: Float): Unit = {
+        val key = if (roundKeys) round4(score.toDouble) else score.toDouble
+        val h = heaps(qi)
+        if (h.size < mB(qi)) h.add(new Cand(docId, score, key))
+        else {
+          val worst = h.peek()
+          if (key > worst.key || (key == worst.key && docId < worst.docId)) {
+            h.poll(); h.add(new Cand(docId, score, key))
+          }
+        }
+      }
+
+      def tauRaw(qi: Int): Double = {
+        // minimum RAW score in the full selector: a lower bound on
+        // every held row, so pruning against it is exact even though
+        // the heap ORDER is by (possibly rounded) key
+        var t = java.lang.Double.MAX_VALUE
+        val it = heaps(qi).iterator()
+        while (it.hasNext) { val c = it.next(); if (c.score < t) t = c.score }
+        t
+      }
+
+      def flush(): Unit = {
+        if (buf.isEmpty) return
+        // metadata pass: terms present + content norm_max, no decode
+        val seen = new java.util.HashSet[String]()
+        val nm = new java.util.HashMap[String, java.lang.Float]()
+        var i = 0
+        while (i < buf.length) {
+          val r = buf(i)
+          val t = r.getString(0)
+          seen.add(t)
+          if (!r.getBoolean(2)) nm.put(t, r.getFloat(6))
+          i += 1
+        }
+        var anyActive = false
+        val active = new Array[Boolean](nQ)
+        var qi = 0
+        while (qi < nQ) {
+          if (kwsDistinctB(qi).forall(seen.contains)) {
+            var keep = true
+            if (heaps(qi).size >= mB(qi)) {
+              var bound = 0.0
+              val toks = toksB(qi)
+              val idf = idfB(qi)
+              var ti = 0
+              while (ti < toks.length) {
+                val v = nm.get(toks(ti))
+                if (v != null) bound += idf(ti).toDouble * v.toDouble
+                ti += 1
+              }
+              val cutoff =
+                (tauRaw(qi) - slackD - epsA(qi)) / (1.0 + epsA(qi))
+              keep = bound >= cutoff
+            }
+            if (keep) { active(qi) = true; anyActive = true }
+          }
+          qi += 1
+        }
+        if (anyActive) {
+          val bm = readBlockN(buf.iterator, 6)
+          qi = 0
+          while (qi < nQ) {
+            if (active(qi)) {
+              val (ids, scores) = andScore(
+                bm, toksB(qi), idfB(qi), dfB(qi), kwsB(qi), wlB(qi),
+                k1, b, avg, locsMode)
+              var j = 0
+              while (j < ids.length) { offer(qi, ids(j), scores(j)); j += 1 }
+            }
+            qi += 1
+          }
+        }
+        buf.clear()
+      }
+
+      new Iterator[Row] {
+        private var out: Iterator[Row] = null
+        private def drain(): Unit = {
+          while (rows.hasNext) {
+            val r = rows.next()
+            val blk = r.getLong(1)
+            if (blk != curBlock) { flush(); curBlock = blk }
+            buf += r
+          }
+          flush()
+          val emitted = new ArrayBuffer[Row]()
+          var qi = 0
+          while (qi < nQ) {
+            val it = heaps(qi).iterator()
+            while (it.hasNext) {
+              val c = it.next()
+              emitted += Row(qid(qi), c.docId, c.score)
+            }
+            qi += 1
+          }
+          out = emitted.iterator
+        }
+        def hasNext: Boolean = { if (out == null) drain(); out.hasNext }
+        def next(): Row = { if (out == null) drain(); out.next() }
+      }
+    }(Encoders.row(batchSchema))
+  }
+
   // ----------------------------------------------------- proximity
 
   private val proxBatchSchema = StructType(Seq(

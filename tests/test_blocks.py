@@ -619,9 +619,62 @@ def test_wand_batch_matches_unpruned(sf_index, bindex):
             [r["score"] for r in g[qid]], [r["score"] for r in w[qid]],
             rtol=1e-6, atol=1e-7, err_msg=qid,
         )
-    # a fresh batch releases the previous batch's scratch
+    # a fresh batch releases the previous batch's scratch: the new
+    # batch holds only its own persists (bounds, plus score1 on the
+    # two-phase path; the one-pass JVM kernel persists no score1)
+    prev = list(pruned._scratch)
     pruned.search_batch({"q": SearchRequest(text="data", max_outputs=3)})
-    assert len(pruned._scratch) == 2  # the new batch's bounds + score1
+    assert pruned._scratch and len(pruned._scratch) <= 2
+    assert not any(df is p for df in pruned._scratch for p in prev)
+
+
+def test_wand_onepass_matches_twophase(sf_index, bindex):
+    """The one-pass JVM kernel (τ pruning inside
+    BlockQuery.searchAndBatchPruned) must be rank- and score-identical
+    to the two-phase Python-orchestrated walk it replaces, in both
+    score modes."""
+    from riot_spark.blocks import jvm_pack_available
+
+    if not jvm_pack_available(bindex.blocks.sparkSession):
+        import pytest
+
+        pytest.skip("riotspark.jar not on the session classpath")
+    reqs = {
+        "hot1": SearchRequest(text="data", max_outputs=10),
+        "and2": SearchRequest(text="data query", max_outputs=10, offset=2),
+        "wl": SearchRequest(text="data", doc_ids=list(range(0, 100, 2)),
+                            max_outputs=10),
+        "tiny": SearchRequest(text="group", max_outputs=500),
+    }
+
+    def forced(impl):
+        e = BlockSearchEngine(bindex)
+        e.WAND_BATCH_MIN_POSTINGS = 0
+        e.WAND_MIN_RANGES = 0
+        e.WAND_FLAT = 2.0
+        e.WAND_IMPL = impl
+        return e
+
+    one = forced("auto")
+    two = forced("twophase")
+    got = one.search_batch(reqs).collect()
+    want = two.search_batch(reqs).collect()
+    # the one-pass path persists only its bounds table; the two-phase
+    # walk persists bounds + score1
+    assert len(one._scratch) == 1 and len(two._scratch) == 2
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"])  # noqa: E731
+    g, w = sorted(got, key=key), sorted(want, key=key)
+    assert [(r["query_id"], r["doc_id"], r["rank"]) for r in g] == [
+        (r["query_id"], r["doc_id"], r["rank"]) for r in w
+    ]
+    np.testing.assert_allclose(
+        [r["score"] for r in g], [r["score"] for r in w], rtol=1e-7, atol=0
+    )
+    # double_scores mode contracts float64 arithmetic: it must route
+    # to the exact two-phase walk even under 'auto'
+    one2 = forced("auto")
+    one2.search_batch(reqs, double_scores=True).collect()
+    assert len(one2._scratch) == 2
 
 
 def test_wand_batch_double_scores(sf_index, bindex):
