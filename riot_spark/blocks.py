@@ -1149,10 +1149,58 @@ class BlockSearchEngine:
         )
         self._scratch.append(bounds)
         chunk = max(8, min(64, max(m_by_qid.values())))
-        # skew probe: one distributed agg over metadata decides, per
-        # query, whether pruning can possibly pay
+
+        # --- one-pass JVM kernel dispatch (no probe) ---------------
+        # The skew probe's premise — "flat bound distributions cannot
+        # be pruned, so two kernel passes + a tau collect are wasted"
+        # — is a property of the TWO-PHASE plan.  The one-pass kernel
+        # wins differently (10M-doc soak, BENCH.md): bounded top-m
+        # emission per task, high-bound-first order tightening tau
+        # in-task, candidate-only block join, no driver round-trips —
+        # it beat decode-everything 2.4x cold / 1.3x warm on hot
+        # uniform-Zipf terms the probe would have declined.  So
+        # one-pass-eligible queries skip the probe entirely; the probe
+        # keeps gating the two-phase walk (double_scores mode and
+        # jarless sessions).  Measured crossover: one-pass ~ plain at
+        # sum-df 5M, clear win at 15M -> gate at 8M.
+        op_qids: set[str] = set()
+        if (
+            not double_scores
+            and self.WAND_IMPL != "twophase"
+            and jvm_pack_available(spark)
+        ):
+            op_qids = {
+                qid
+                for qid, _tokens, keywords, _wl in qmeta
+                if sum(dfs[t] for t in keywords)
+                >= self.WAND_ONEPASS_MIN_POSTINGS
+            }
+        scored_op = None
+        if op_qids:
+            op_meta = [qm for qm in qmeta if qm[0] in op_qids]
+            scored_op = self._wand_onepass_jvm(
+                matched,
+                bounds.where(F.col("query_id").isin(sorted(op_qids))),
+                op_meta,
+                {q: m_by_qid[q] for q in op_qids},
+                eps_by_qid,
+                dfs,
+            )
+            qmeta = [qm for qm in qmeta if qm[0] not in op_qids]
+            m_by_qid = {
+                q: m for q, m in m_by_qid.items() if q not in op_qids
+            }
+            if not qmeta:
+                return scored_op, set()
+
+        # --- two-phase walk behind the skew probe ------------------
+        rest_bounds = (
+            bounds.where(~F.col("query_id").isin(sorted(op_qids)))
+            if op_qids
+            else bounds
+        )
         probe = (
-            bounds.groupBy("query_id")
+            rest_bounds.groupBy("query_id")
             .agg(
                 F.max("bound").alias("mx"),
                 F.percentile_approx("bound", 0.9).alias("p90"),
@@ -1171,29 +1219,15 @@ class BlockSearchEngine:
         # term => provably empty either way; drop them from fallback
         fallback &= {r["query_id"] for r in probe}
         if not prunable:
-            bounds.unpersist()
-            self._scratch.remove(bounds)
-            return None, fallback
+            if scored_op is None:
+                bounds.unpersist()
+                self._scratch.remove(bounds)
+            return scored_op, fallback
         qmeta = [qm for qm in qmeta if qm[0] in prunable]
         m_by_qid = {q: m for q, m in m_by_qid.items() if q in prunable}
         bounds = bounds.where(
             F.col("query_id").isin(sorted(prunable))
         )
-        # the one-pass JVM kernel is float32 (andScore); double_scores
-        # mode contracts float64 arithmetic (rounded to 4 decimals),
-        # which only the pandas kernel computes — so the oracle-parity
-        # mode keeps the exact two-phase walk and the performance mode
-        # rides the single pass
-        if (
-            not double_scores
-            and self.WAND_IMPL != "twophase"
-            and jvm_pack_available(spark)
-        ):
-            scored = self._wand_onepass_jvm(
-                matched, bounds, qmeta, m_by_qid, eps_by_qid, dfs,
-            )
-            if scored is not None:
-                return scored, fallback
         w = Window.partitionBy("query_id").orderBy(
             F.desc("bound"), F.asc("block_id")
         )
@@ -1251,13 +1285,24 @@ class BlockSearchEngine:
             self._select_blocks(matched, blocks2),
             qmeta, qsets, dfs, double_scores,
         )
-        return score1.unionByName(score2), fallback
+        scored = score1.unionByName(score2)
+        if scored_op is not None:
+            scored = scored.unionByName(scored_op)
+        return scored, fallback
 
     # WAND implementation: 'auto' = the one-pass JVM kernel with
     # in-kernel τ pruning when riotspark.jar is on the classpath,
     # falling back to the two-phase Python-orchestrated walk;
     # 'twophase' forces the walk (the A/B twin, and the jarless path).
     WAND_IMPL = "auto"
+
+    # one-pass df gate: sum of keyword dfs above which the single-pass
+    # pruned kernel beats the decode-everything batch pass.  Measured
+    # on the 10M-doc disk-resident soak (BENCH.md round 4): at sum-df
+    # ~15M the one-pass wins 2.4x cold / 1.3x warm; at ~5M it's a
+    # wash cold and loses warm; at ~300k it loses — the crossover sits
+    # between, so the gate takes the midpoint.
+    WAND_ONEPASS_MIN_POSTINGS = 8_000_000
 
     def _wand_onepass_jvm(
         self,

@@ -598,6 +598,7 @@ def test_wand_batch_matches_unpruned(sf_index, bindex):
     pruned.WAND_BATCH_MIN_POSTINGS = 0  # every eligible query takes WAND
     pruned.WAND_MIN_RANGES = 0  # smoke corpus has ~8 ranges
     pruned.WAND_FLAT = 2.0  # force past the skew probe
+    pruned.WAND_ONEPASS_MIN_POSTINGS = 0  # one-pass kernel when jarred
     want = plain.search_batch(reqs).collect()
     got = pruned.search_batch(reqs).collect()
     assert pruned._scratch, "WAND pass engaged (scratch persisted)"
@@ -652,6 +653,7 @@ def test_wand_onepass_matches_twophase(sf_index, bindex):
         e.WAND_BATCH_MIN_POSTINGS = 0
         e.WAND_MIN_RANGES = 0
         e.WAND_FLAT = 2.0
+        e.WAND_ONEPASS_MIN_POSTINGS = 0
         e.WAND_IMPL = impl
         return e
 

@@ -48,7 +48,8 @@ def _disk_sectors_read() -> int:
     with open("/proc/diskstats") as f:
         for line in f:
             parts = line.split()
-            if len(parts) > 6 and parts[2].rstrip("0123456789") in ("vd", "sd", "nvme"):
+            # whole-disk devices only (vda, sda, nvme0n1 — not loop/ram)
+            if len(parts) > 6 and parts[2].startswith(("vd", "sd", "nvme")):
                 total += int(parts[5])
     return total
 
