@@ -2550,7 +2550,23 @@ def write_blocked_index(
             return {"skipped": True, **m}
 
     t0 = time.time()
-    bindex.blocks.write.mode("overwrite").parquet(f"{path}/blocks")
+    # Layout for read-side I/O pruning (measured on the 4M skew store,
+    # BENCH.md round 4): lay the store out term-major / block-minor
+    # with small row groups, so (a) a term filter's row-group min/max
+    # stats skip every group not containing the term and (b) a WAND
+    # In(block_id) selection prunes row groups WITHIN a hot term's
+    # contiguous run.  Block rows are fat (tens of KB packed), so an
+    # 8 MB row group is only a few hundred rows — tight stats, and a
+    # write-once cost (one range shuffle) paid against every future
+    # cold read.
+    n_out = max(1, bindex.blocks.rdd.getNumPartitions())
+    (
+        bindex.blocks.repartitionByRange(n_out, "term", "block_id")
+        .sortWithinPartitions("term", "block_id")
+        .write.option("parquet.block.size", 8 << 20)
+        .mode("overwrite")
+        .parquet(f"{path}/blocks")
+    )
     bindex.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
     spark = bindex.blocks.sparkSession
     spark.createDataFrame(
