@@ -1304,6 +1304,13 @@ class BlockSearchEngine:
     # between, so the gate takes the midpoint.
     WAND_ONEPASS_MIN_POSTINGS = 8_000_000
 
+    # single-query one-pass gate — None = disabled (the default): the
+    # kernel's block-colocation shuffle of matched packed bytes is
+    # shared by a whole batch but unamortized for one query (10M-doc
+    # cold A/B: plain 3.4 s vs one-pass 7.8 s, identical top-k), so
+    # single queries keep the probe-gated threshold walk / plain pass
+    WAND_SINGLE_ONEPASS_MIN_POSTINGS: int | None = None
+
     def _wand_onepass_jvm(
         self,
         matched: DataFrame,
@@ -1449,6 +1456,26 @@ class BlockSearchEngine:
             def apply_and(df):
                 return df.groupBy("block_id").applyInPandas(kernel, out_schema)
 
+        if (
+            k
+            and not do_prox
+            and self.WAND_IMPL != "twophase"
+            and self.WAND_SINGLE_ONEPASS_MIN_POSTINGS is not None
+            and sum(dfs.values()) >= self.WAND_SINGLE_ONEPASS_MIN_POSTINGS
+            and jvm_pack_available(spark)
+        ):
+            # single-query twin of the batch one-pass dispatch — OFF by
+            # default: the kernel's block-id shuffle of the matched
+            # packed bytes amortizes over a batch but not over one
+            # query (measured at 10M docs, hot pair, cold: plain 3.4 s
+            # vs one-pass 7.8 s — identical top-k).  Opt-in for
+            # callers whose single queries are hot enough that decode
+            # volume dominates the one extra shuffle.
+            scored = self._wand_single_onepass(
+                matched, tok_list, keywords, dfs, int(k)
+            )
+            if scored is not None:
+                return scored
         if k and not do_prox and sum(dfs.values()) >= self.WAND_MIN_POSTINGS:
             wand, _ = self._wand_topk(
                 matched, apply_and, tok_list, [dfs[t] for t in tok_list],
@@ -1459,6 +1486,56 @@ class BlockSearchEngine:
         scored = apply_and(matched)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k else out
+
+    def _wand_single_onepass(
+        self,
+        matched: DataFrame,
+        tok_list: list[str],
+        keywords: list[str],
+        dfs: dict[str, int],
+        k: int,
+    ) -> DataFrame | None:
+        """One-pass pruned top-k for a single AND query: the batch
+        kernel with one query id (bounds table -> best-bound-first
+        sorted pass -> per-task top-k heaps -> global rank slice)."""
+        import math as _m
+
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        idf = {t: _m.log2(bi.n_docs / dfs[t] + 1.0) for t in tok_list}
+        kw_set = sorted(set(keywords))
+        qterms = spark.createDataFrame(
+            [("q", t, float(idf.get(t, 0.0)), len(kw_set)) for t in kw_set],
+            "query_id STRING, term STRING, idf DOUBLE, n_kw INT",
+        )
+        bounds = (
+            matched.select("term", "block_id", "is_label", "norm_max")
+            .join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "block_id")
+            .agg(
+                F.countDistinct("term").alias("nt"),
+                F.sum(
+                    F.when(
+                        ~F.col("is_label"), F.col("idf") * F.col("norm_max")
+                    ).otherwise(F.lit(0.0))
+                ).alias("bound"),
+                F.first("n_kw").alias("n_kw"),
+            )
+            .where(F.col("nt") == F.col("n_kw"))
+            .select("query_id", "block_id", "bound")
+        )
+        eps = {"q": max(1.0, float(len(tok_list))) * 2.0**-20}
+        scored = self._wand_onepass_jvm(
+            matched, bounds, [("q", tok_list, keywords, None)],
+            {"q": k}, eps, dfs,
+        )
+        if scored is None:
+            return None
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
 
     def _make_and_kernel(
         self,

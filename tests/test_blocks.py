@@ -1127,3 +1127,24 @@ def test_append_empty_delta_and_partial_segment(tmp_path, spark, sf_index, binde
     with open(f"{path}/segments/000001/manifest.json") as f:
         assert _json.load(f)["status"] == "done"
     assert read_blocked_index(spark, path).n_docs == 530
+
+
+def test_single_query_onepass_matches_plain(sf_index, bindex):
+    """search_and with the one-pass gate forced must return the exact
+    top-k of the unpruned pass (same docs, same float32 scores), and
+    labels/low-df shapes must keep their existing routes."""
+    from riot_spark.blocks import jvm_pack_available
+
+    if not jvm_pack_available(bindex.blocks.sparkSession):
+        pytest.skip("riotspark.jar not on the session classpath")
+    plain = BlockSearchEngine(bindex)
+    plain.WAND_MIN_POSTINGS = 10**18  # decode-everything reference
+    one = BlockSearchEngine(bindex)
+    one.WAND_SINGLE_ONEPASS_MIN_POSTINGS = 0  # opt-in route
+    for toks, k in ([["data", "query"], 10], [["data"], 25],
+                    [["group"], 500]):  # k > matches: no-tau branch
+        want = plain.search_and(toks, k=k).collect()
+        got = one.search_and(toks, k=k).collect()
+        assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
+            (r["doc_id"], np.float32(r["score"])) for r in want
+        ], (toks, k)
