@@ -810,7 +810,11 @@ class BlockSearchEngine:
         return apply_and
 
     def _jvm_and_batch(
-        self, matched: DataFrame, qmeta: list[tuple], dfs: dict[str, int]
+        self,
+        matched: DataFrame,
+        qmeta: list[tuple],
+        dfs: dict[str, int],
+        double_scores: bool = False,
     ) -> DataFrame | None:
         """JVM twin of the batch AND dispatcher
         (BlockQuery.scala::searchAndBatch): every query of the batch is
@@ -819,7 +823,10 @@ class BlockSearchEngine:
         riotspark.jar is not on the session classpath (the pandas
         dispatcher takes over).  idf fixed driver-side exactly as in
         _make_jvm_and_apply; bit-identical to the pandas batch path
-        (tests/test_jvm_packer.py::test_jvm_batch_bit_identical)."""
+        in BOTH score modes — float32 riot-exact, or float64
+        (andScoreD, the oracle-parity twin of bm25_score_f64_vec)
+        when `double_scores` (tests/test_jvm_packer.py::
+        test_jvm_batch_bit_identical / _double_bit_identical)."""
         bi = self.bi
         spark = bi.blocks.sparkSession
         if not jvm_pack_available(spark):
@@ -829,9 +836,14 @@ class BlockSearchEngine:
         for qid, tokens, keywords, wl in qmeta:
             qids.append(qid)
             toks_b.append(list(tokens))
+            # full-precision numpy log2 in double mode; the float32
+            # fix happens driver-side in f32 mode so no JVM log enters
+            # either fixed-point path
             idf_b.append(
                 [
-                    float(np.float32(np.log2(bi.n_docs / dfs[t] + 1.0)))
+                    float(np.log2(bi.n_docs / dfs[t] + 1.0))
+                    if double_scores
+                    else float(np.float32(np.log2(bi.n_docs / dfs[t] + 1.0)))
                     for t in tokens
                 ]
             )
@@ -845,7 +857,7 @@ class BlockSearchEngine:
             matched.select(cols)._jdf,
             qids, toks_b, idf_b, df_b, kws_b,
             float(p.k1), float(p.b), float(bi.avgdl),
-            bool(bi.has_positions), wl_b,
+            bool(bi.has_positions), wl_b, bool(double_scores),
         )
         return DataFrame(jdf, spark)
 
@@ -1003,12 +1015,9 @@ class BlockSearchEngine:
         double_scores: bool,
     ) -> DataFrame:
         """One decode-once batch AND pass: the JVM kernel when the jar
-        is present (float32 mode only), else the pandas dispatcher."""
-        scored = (
-            None
-            if double_scores  # JVM kernel is float32-only
-            else self._jvm_and_batch(matched, qmeta, dfs)
-        )
+        is present (float32 or float64 tail), else the pandas
+        dispatcher."""
+        scored = self._jvm_and_batch(matched, qmeta, dfs, double_scores)
         if scored is None:
             scored = self._pandas_and_batch(
                 matched, qmeta, qsets, dfs, double_scores
@@ -1160,15 +1169,14 @@ class BlockSearchEngine:
         # it beat decode-everything 2.4x cold / 1.3x warm on hot
         # uniform-Zipf terms the probe would have declined.  So
         # one-pass-eligible queries skip the probe entirely; the probe
-        # keeps gating the two-phase walk (double_scores mode and
-        # jarless sessions).  Measured crossover: one-pass ~ plain at
-        # sum-df 5M, clear win at 15M -> gate at 8M.
+        # keeps gating the two-phase walk (jarless sessions).
+        # double_scores rides the kernel's float64 tail (andScoreD)
+        # with roundKeys on, so its in-kernel top-m selection uses the
+        # caller's final rounded total order.  Measured crossover:
+        # one-pass ~ plain at sum-df 5M, clear win at 15M -> gate
+        # at 8M.
         op_qids: set[str] = set()
-        if (
-            not double_scores
-            and self.WAND_IMPL != "twophase"
-            and jvm_pack_available(spark)
-        ):
+        if self.WAND_IMPL != "twophase" and jvm_pack_available(spark):
             op_qids = {
                 qid
                 for qid, _tokens, keywords, _wl in qmeta
@@ -1185,6 +1193,7 @@ class BlockSearchEngine:
                 {q: m_by_qid[q] for q in op_qids},
                 eps_by_qid,
                 dfs,
+                double_scores,
             )
             qmeta = [qm for qm in qmeta if qm[0] not in op_qids]
             m_by_qid = {
@@ -1319,6 +1328,7 @@ class BlockSearchEngine:
         m_by_qid: dict[str, int],
         eps_by_qid: dict[str, float],
         dfs: dict[str, int],
+        double_scores: bool = False,
     ) -> DataFrame | None:
         """Single-pass batched WAND (BlockQuery.scala::
         searchAndBatchPruned): τ-threshold skipping folded INTO the
@@ -1342,7 +1352,9 @@ class BlockSearchEngine:
             toks_b.append(list(tokens))
             idf_b.append(
                 [
-                    float(np.float32(np.log2(bi.n_docs / dfs[t] + 1.0)))
+                    float(np.log2(bi.n_docs / dfs[t] + 1.0))
+                    if double_scores
+                    else float(np.float32(np.log2(bi.n_docs / dfs[t] + 1.0)))
                     for t in tokens
                 ]
             )
@@ -1366,12 +1378,17 @@ class BlockSearchEngine:
             .sortWithinPartitions(F.desc("_bkey"), "block_id")
             .select(cols)  # positional contract for the kernel
         )
+        # double mode ranks in-kernel by the caller's FINAL total
+        # order (round-half-up 4-decimal key) with the same 1e-4
+        # slack the two-phase walk uses, so rounding ties survive
         jdf = spark._jvm.riotspark.BlockQuery.searchAndBatchPruned(
             arranged._jdf,
             qids, toks_b, idf_b, df_b, kws_b,
             float(p.k1), float(p.b), float(bi.avgdl),
             bool(bi.has_positions), wl_b,
-            ms, False, 0.0, eps,
+            ms, bool(double_scores),
+            1e-4 if double_scores else 0.0, eps,
+            bool(double_scores),
         )
         return DataFrame(jdf, spark)
 

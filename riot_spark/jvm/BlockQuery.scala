@@ -250,19 +250,19 @@ object BlockQuery {
   /** (term, block_id, is_label, doc_ids, tfs, token_lens). */
   private def readBlock(rows: Iterator[Row]): BlockMaps = readBlockN(rows, 6)
 
-  /** Per-query AND + float32 BM25 body over one decoded block group —
-   *  shared verbatim by searchAnd and searchAndBatch so the two stay
-   *  bit-identical by construction.  Returns (doc ids, scores), both
-   *  empty when the intersection (or whitelist) prunes to nothing.
-   *  The caller has already verified every distinct keyword is
-   *  present in the group. */
-  private def andScore(
+  /** Candidate gather shared by the float32 and float64 scoring
+   *  tails: k-way sorted intersection (+ whitelist), per-token tf
+   *  columns, doc lengths with the label backfill, and the LocsIndex
+   *  unscorable mask.  Pure decode/copy — no floating arithmetic —
+   *  so both tails stay bit-identical to their Python twins.
+   *  Returns null when the intersection (or whitelist) prunes to
+   *  nothing. */
+  private def andGather(
       bm: BlockMaps,
-      toks: Array[String], idf: Array[Float], dfList: Array[Long],
+      toks: Array[String],
       kws: Array[String], wl: Array[Long],
-      k1: Float, b: Float, avg: Float,
-      locsMode: Boolean): (Array[Long], Array[Float]) = {
-    val empty = (Array.emptyLongArray, Array.emptyFloatArray)
+      locsMode: Boolean)
+      : (Array[Long], Array[Array[Float]], Array[Float], Array[Boolean]) = {
     // smallest candidate set first, stable for equal sizes
     val ordered = kws.distinct.sortBy(t => bm.idsOf(t).length)
     var cur = bm.idsOf(ordered(0))
@@ -272,7 +272,7 @@ object BlockQuery {
       oi += 1
     }
     if (wl != null && cur.length > 0) cur = intersectSorted(cur, wl)
-    if (cur.length == 0) empty
+    if (cur.length == 0) null
     else {
       val nC = cur.length
       val dl = new Array[Float](nC)
@@ -326,8 +326,29 @@ object BlockQuery {
           ki += 1
         }
       }
+      (cur, tfCols, dl, unscor)
+    }
+  }
+
+  /** Per-query AND + float32 BM25 body over one decoded block group —
+   *  shared verbatim by searchAnd and searchAndBatch so the two stay
+   *  bit-identical by construction (oracle.py::bm25_score_f32_vec).
+   *  Returns (doc ids, scores), both empty when the intersection
+   *  (or whitelist) prunes to nothing.  The caller has already
+   *  verified every distinct keyword is present in the group. */
+  private def andScore(
+      bm: BlockMaps,
+      toks: Array[String], idf: Array[Float], dfList: Array[Long],
+      kws: Array[String], wl: Array[Long],
+      k1: Float, b: Float, avg: Float,
+      locsMode: Boolean): (Array[Long], Array[Float]) = {
+    val g = andGather(bm, toks, kws, wl, locsMode)
+    if (g == null) (Array.emptyLongArray, Array.emptyFloatArray)
+    else {
+      val (cur, tfCols, dl, unscor) = g
+      val nC = cur.length
       val scores = new Array[Float](nC)
-      j = 0
+      var j = 0
       while (j < nC) {
         var score = 0.0f
         if (avg != 0.0f && !(locsMode && unscor(j))) {
@@ -339,6 +360,48 @@ object BlockQuery {
               val contrib =
                 idf(i) * f * (k1 + 1.0f) /
                   (f + k1 * ((1.0f - b) + (b * d) / avg))
+              score = score + contrib
+            }
+            i += 1
+          }
+        }
+        scores(j) = score
+        j += 1
+      }
+      (cur, scores)
+    }
+  }
+
+  /** Float64 twin of andScore — elementwise double arithmetic in
+   *  query-token order, bit-identical to the pandas f64 kernel
+   *  (oracle.py::bm25_score_f64_vec: contrib = idf*f*(k1+1) /
+   *  (f + k1*((1-b) + b*d/avgdl)), accumulated only where tf > 0;
+   *  idf arrives driver-side full-precision so no JVM log enters).
+   *  Serves double_scores (oracle-parity) batches. */
+  private def andScoreD(
+      bm: BlockMaps,
+      toks: Array[String], idfD: Array[Double], dfList: Array[Long],
+      kws: Array[String], wl: Array[Long],
+      k1: Double, b: Double, avg: Double,
+      locsMode: Boolean): (Array[Long], Array[Double]) = {
+    val g = andGather(bm, toks, kws, wl, locsMode)
+    if (g == null) (Array.emptyLongArray, Array.emptyDoubleArray)
+    else {
+      val (cur, tfCols, dl, unscor) = g
+      val nC = cur.length
+      val scores = new Array[Double](nC)
+      var j = 0
+      while (j < nC) {
+        var score = 0.0
+        if (avg != 0.0 && !(locsMode && unscor(j))) {
+          val d = dl(j).toDouble
+          var i = 0
+          while (i < toks.length) {
+            val f = tfCols(i)(j).toDouble
+            if (dfList(i) > 0 && f > 0.0) {
+              val contrib =
+                idfD(i) * f * (k1 + 1.0) /
+                  (f + k1 * ((1.0 - b) + (b * d) / avg))
               score = score + contrib
             }
             i += 1
@@ -405,6 +468,12 @@ object BlockQuery {
     StructField("score", FloatType, nullable = false)
   ))
 
+  private val batchSchemaD = StructType(Seq(
+    StructField("query_id", StringType, nullable = false),
+    StructField("doc_id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false)
+  ))
+
   /** Batched AND/BM25: every query of the batch served from ONE
    *  decode of each block (the JVM twin of the Python dispatcher in
    *  blocks.py::BlockSearchEngine.search_batch, whose per-block
@@ -414,7 +483,11 @@ object BlockQuery {
    *  block rows of the UNION of all queries' keywords, projected as
    *  (term, block_id, is_label, doc_ids, tfs, token_lens); a query
    *  missing any distinct keyword in a block group is AND-pruned
-   *  there without decoding anything. */
+   *  there without decoding anything.
+   *
+   *  `doubleScores` switches the scoring tail to the float64 twin
+   *  (andScoreD, oracle-parity mode): idf values arrive
+   *  full-precision and the score column is DOUBLE. */
   def searchAndBatch(
       df: DataFrame,
       qids: java.util.List[String],
@@ -424,12 +497,14 @@ object BlockQuery {
       kwTermsB: java.util.List[java.util.List[String]],
       k1d: Double, bd: Double, avgdld: Double,
       locsMode: Boolean,
-      whitelists: java.util.List[java.util.List[java.lang.Number]]): DataFrame = {
+      whitelists: java.util.List[java.util.List[java.lang.Number]],
+      doubleScores: Boolean): DataFrame = {
     import scala.jdk.CollectionConverters._
     val nQ = qids.size
     val qid = qids.asScala.toArray
     val toksB = new Array[Array[String]](nQ)
     val idfB = new Array[Array[Float]](nQ)
+    val idfDB = new Array[Array[Double]](nQ)
     val dfB = new Array[Array[Long]](nQ)
     val kwsB = new Array[Array[String]](nQ)
     val kwsDistinctB = new Array[Array[String]](nQ)
@@ -437,7 +512,8 @@ object BlockQuery {
     var q = 0
     while (q < nQ) {
       toksB(q) = tokTermsB.get(q).asScala.toArray
-      idfB(q) = tokIdfB.get(q).asScala.map(_.doubleValue.toFloat).toArray
+      idfDB(q) = tokIdfB.get(q).asScala.map(_.doubleValue).toArray
+      idfB(q) = idfDB(q).map(_.toFloat)
       dfB(q) = tokDfB.get(q).asScala.map(_.longValue).toArray
       kwsB(q) = kwTermsB.get(q).asScala.toArray
       kwsDistinctB(q) = kwsB(q).distinct
@@ -457,27 +533,39 @@ object BlockQuery {
         while (qi < nQ) {
           // AND prune before any decode: all keywords present here?
           if (kwsDistinctB(qi).forall(bm.seen.contains)) {
-            val (ids, scores) = andScore(
-              bm, toksB(qi), idfB(qi), dfB(qi), kwsB(qi), wlB(qi),
-              k1, b, avg, locsMode)
-            var j = 0
-            while (j < ids.length) {
-              outs += Row(qid(qi), ids(j), scores(j))
-              j += 1
+            if (doubleScores) {
+              val (ids, scores) = andScoreD(
+                bm, toksB(qi), idfDB(qi), dfB(qi), kwsB(qi), wlB(qi),
+                k1d, bd, avgdld, locsMode)
+              var j = 0
+              while (j < ids.length) {
+                outs += Row(qid(qi), ids(j), scores(j))
+                j += 1
+              }
+            } else {
+              val (ids, scores) = andScore(
+                bm, toksB(qi), idfB(qi), dfB(qi), kwsB(qi), wlB(qi),
+                k1, b, avg, locsMode)
+              var j = 0
+              while (j < ids.length) {
+                outs += Row(qid(qi), ids(j), scores(j))
+                j += 1
+              }
             }
           }
           qi += 1
         }
         outs.iterator
-    }(Encoders.row(batchSchema))
+    }(Encoders.row(if (doubleScores) batchSchemaD else batchSchema))
   }
 
   // ------------------------------------------- one-pass pruned batch
 
-  /** One top-m candidate: raw float32 score plus the ranking key the
+  /** One top-m candidate: the raw score (a widened float32, or a
+   *  native double in double_scores mode) plus the ranking key the
    *  caller's final slice will use (round-half-up to 4 decimals in
    *  double_scores mode, the raw score widened otherwise). */
-  private final class Cand(val docId: Long, val score: Float, val key: Double)
+  private final class Cand(val docId: Long, val score: Double, val key: Double)
 
   /** min-heap order = WORST candidate first under the caller's final
    *  total order (key desc, doc_id asc) — so peek() is the row the
@@ -535,12 +623,14 @@ object BlockQuery {
       ms: java.util.List[java.lang.Number],
       roundKeys: Boolean,
       slackD: Double,
-      epsB: java.util.List[java.lang.Number]): DataFrame = {
+      epsB: java.util.List[java.lang.Number],
+      doubleScores: Boolean): DataFrame = {
     import scala.jdk.CollectionConverters._
     val nQ = qids.size
     val qid = qids.asScala.toArray
     val toksB = new Array[Array[String]](nQ)
     val idfB = new Array[Array[Float]](nQ)
+    val idfDB = new Array[Array[Double]](nQ)
     val dfB = new Array[Array[Long]](nQ)
     val kwsB = new Array[Array[String]](nQ)
     val kwsDistinctB = new Array[Array[String]](nQ)
@@ -550,7 +640,8 @@ object BlockQuery {
     var q = 0
     while (q < nQ) {
       toksB(q) = tokTermsB.get(q).asScala.toArray
-      idfB(q) = tokIdfB.get(q).asScala.map(_.doubleValue.toFloat).toArray
+      idfDB(q) = tokIdfB.get(q).asScala.map(_.doubleValue).toArray
+      idfB(q) = idfDB(q).map(_.toFloat)
       dfB(q) = tokDfB.get(q).asScala.map(_.longValue).toArray
       kwsB(q) = kwTermsB.get(q).asScala.toArray
       kwsDistinctB(q) = kwsB(q).distinct
@@ -570,8 +661,8 @@ object BlockQuery {
       val buf = new ArrayBuffer[Row]()
       var curBlock = Long.MinValue
 
-      def offer(qi: Int, docId: Long, score: Float): Unit = {
-        val key = if (roundKeys) round4(score.toDouble) else score.toDouble
+      def offer(qi: Int, docId: Long, score: Double): Unit = {
+        val key = if (roundKeys) round4(score) else score
         val h = heaps(qi)
         if (h.size < mB(qi)) h.add(new Cand(docId, score, key))
         else {
@@ -614,11 +705,13 @@ object BlockQuery {
             if (heaps(qi).size >= mB(qi)) {
               var bound = 0.0
               val toks = toksB(qi)
-              val idf = idfB(qi)
+              // full-precision idf: in f32 mode the incoming values
+              // are float32-exact, so this matches idfB(ti).toDouble
+              val idf = idfDB(qi)
               var ti = 0
               while (ti < toks.length) {
                 val v = nm.get(toks(ti))
-                if (v != null) bound += idf(ti).toDouble * v.toDouble
+                if (v != null) bound += idf(ti) * v.toDouble
                 ti += 1
               }
               val cutoff =
@@ -634,11 +727,21 @@ object BlockQuery {
           qi = 0
           while (qi < nQ) {
             if (active(qi)) {
-              val (ids, scores) = andScore(
-                bm, toksB(qi), idfB(qi), dfB(qi), kwsB(qi), wlB(qi),
-                k1, b, avg, locsMode)
-              var j = 0
-              while (j < ids.length) { offer(qi, ids(j), scores(j)); j += 1 }
+              if (doubleScores) {
+                val (ids, scores) = andScoreD(
+                  bm, toksB(qi), idfDB(qi), dfB(qi), kwsB(qi), wlB(qi),
+                  k1d, bd, avgdld, locsMode)
+                var j = 0
+                while (j < ids.length) { offer(qi, ids(j), scores(j)); j += 1 }
+              } else {
+                val (ids, scores) = andScore(
+                  bm, toksB(qi), idfB(qi), dfB(qi), kwsB(qi), wlB(qi),
+                  k1, b, avg, locsMode)
+                var j = 0
+                while (j < ids.length) {
+                  offer(qi, ids(j), scores(j).toDouble); j += 1
+                }
+              }
             }
             qi += 1
           }
@@ -662,7 +765,11 @@ object BlockQuery {
             val it = heaps(qi).iterator()
             while (it.hasNext) {
               val c = it.next()
-              emitted += Row(qid(qi), c.docId, c.score)
+              // f32 mode stores the float widened, so the narrowing
+              // round-trip is exact
+              emitted += Row(
+                qid(qi), c.docId,
+                if (doubleScores) c.score else c.score.toFloat)
             }
             qi += 1
           }
@@ -671,7 +778,7 @@ object BlockQuery {
         def hasNext: Boolean = { if (out == null) drain(); out.hasNext }
         def next(): Row = { if (out == null) drain(); out.next() }
       }
-    }(Encoders.row(batchSchema))
+    }(Encoders.row(if (doubleScores) batchSchemaD else batchSchema))
   }
 
   // ----------------------------------------------------- proximity

@@ -672,11 +672,16 @@ def test_wand_onepass_matches_twophase(sf_index, bindex):
     np.testing.assert_allclose(
         [r["score"] for r in g], [r["score"] for r in w], rtol=1e-7, atol=0
     )
-    # double_scores mode contracts float64 arithmetic: it must route
-    # to the exact two-phase walk even under 'auto'
-    one2 = forced("auto")
-    one2.search_batch(reqs, double_scores=True).collect()
-    assert len(one2._scratch) == 2
+    # double_scores mode rides the kernel's float64 tail (andScoreD,
+    # roundKeys on): still one-pass under 'auto', and bit-identical —
+    # after the caller's round(4) — to the two-phase float64 walk
+    one2, two2 = forced("auto"), forced("twophase")
+    got2 = one2.search_batch(reqs, double_scores=True).collect()
+    want2 = two2.search_batch(reqs, double_scores=True).collect()
+    assert len(one2._scratch) == 1 and len(two2._scratch) == 2
+    g2, w2 = sorted(got2, key=key), sorted(want2, key=key)
+    assert [(r["query_id"], r["doc_id"], r["rank"], r["score"]) for r in g2] \
+        == [(r["query_id"], r["doc_id"], r["rank"], r["score"]) for r in w2]
 
 
 def test_wand_batch_double_scores(sf_index, bindex):

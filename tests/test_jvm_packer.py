@@ -212,6 +212,50 @@ def test_jvm_batch_bit_identical(locs_index):
     assert {q for q, *_ in got} == {"and1", "and2", "rev", "wl", "all"}
 
 
+def test_jvm_batch_double_bit_identical(locs_index):
+    """double_scores mode through the JVM float64 tail (andScoreD)
+    must be bit-identical — exact float64, before AND after the
+    caller's round(4) — to the pandas f64 dispatcher it replaces."""
+    bi = blocked_from_index(locs_index, doc_block_bits=6, packer="jvm")
+    jeng = BlockSearchEngine(bi)
+    peng = BlockSearchEngine(bi)
+    peng._jvm_and_batch = lambda *a, **k: None  # force pandas dispatch
+    reqs = {
+        "and1": SearchRequest(text="data query", max_outputs=10),
+        "and2": SearchRequest(text="batch", max_outputs=5, offset=3),
+        "rev": SearchRequest(text="data query", max_outputs=10,
+                             reverse_order=True),
+        "wl": SearchRequest(text="data", doc_ids=list(range(0, 200, 3)),
+                            max_outputs=10),
+        "all": SearchRequest(text="group order"),
+        "missing": SearchRequest(text="data zzzqx", max_outputs=10),
+    }
+    key = lambda r: (  # noqa: E731
+        r["query_id"], r["rank"], r["doc_id"], float(r["score"])
+    )
+    got = sorted(
+        key(r) for r in jeng.search_batch(reqs, double_scores=True).collect()
+    )
+    want = sorted(
+        key(r) for r in peng.search_batch(reqs, double_scores=True).collect()
+    )
+    assert got == want
+    assert {q for q, *_ in got} == {"and1", "and2", "rev", "wl", "all"}
+    # the raw (pre-round) kernel outputs match exactly too
+    qmeta = [("q", ["data", "query"], ["data", "query"], None)]
+    dfs = bi.lookup_terms(["data", "query"])
+    from pyspark.sql import functions as F
+
+    matched = bi.blocks.where(F.col("term").isin(["data", "query"]))
+    raw_j = jeng._jvm_and_batch(matched, qmeta, dfs, True)
+    raw_p = peng._pandas_and_batch(matched, qmeta, {"q": {"data", "query"}},
+                                   dfs, True)
+    rk = lambda r: (r["doc_id"], float(r["score"]))  # noqa: E731
+    assert sorted(rk(r) for r in raw_j.collect()) == sorted(
+        rk(r) for r in raw_p.collect()
+    )
+
+
 def test_jvm_batch_labels(spark):
     """Label keywords in a batch exercise the union / doc-length
     backfill / unscorable branches of searchAndBatch; pin to the
