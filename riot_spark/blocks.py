@@ -780,10 +780,7 @@ class BlockSearchEngine:
         if not jvm_pack_available(spark):
             return None
         p = bi.params
-        idf = [
-            float(np.float32(np.log2(bi.n_docs / dfs[t] + 1.0)))
-            for t in tok_list
-        ]
+        idf = self._idf_list(tok_list, dfs, False)
         df_list = [int(dfs[t]) for t in tok_list]
         wl = (
             None
@@ -808,6 +805,19 @@ class BlockSearchEngine:
             return DataFrame(jdf, spark)
 
         return apply_and
+
+    def _idf_list(
+        self, tokens: list[str], dfs: dict[str, int], double_scores: bool
+    ) -> list[float]:
+        """Per-token idf for the JVM kernels, precision-critical and
+        shared by every call site so the kernel/pandas differential
+        tests pin ONE expression: full-precision numpy float64 log2 in
+        double mode; in f32 mode the float32 fix happens driver-side,
+        so no JVM log enters either fixed-point path."""
+        n = self.bi.n_docs
+        if double_scores:
+            return [float(np.log2(n / dfs[t] + 1.0)) for t in tokens]
+        return [float(np.float32(np.log2(n / dfs[t] + 1.0))) for t in tokens]
 
     def _jvm_and_batch(
         self,
@@ -836,17 +846,7 @@ class BlockSearchEngine:
         for qid, tokens, keywords, wl in qmeta:
             qids.append(qid)
             toks_b.append(list(tokens))
-            # full-precision numpy log2 in double mode; the float32
-            # fix happens driver-side in f32 mode so no JVM log enters
-            # either fixed-point path
-            idf_b.append(
-                [
-                    float(np.log2(bi.n_docs / dfs[t] + 1.0))
-                    if double_scores
-                    else float(np.float32(np.log2(bi.n_docs / dfs[t] + 1.0)))
-                    for t in tokens
-                ]
-            )
+            idf_b.append(self._idf_list(tokens, dfs, double_scores))
             df_b.append([int(dfs[t]) for t in tokens])
             kws_b.append(list(keywords))
             # np.unique output is already sorted — the JVM kernel's
@@ -876,10 +876,7 @@ class BlockSearchEngine:
         if not jvm_pack_available(spark):
             return None
         p = bi.params
-        idf = [
-            float(np.float32(np.log2(bi.n_docs / dfs[t] + 1.0)))
-            for t in tok_list
-        ]
+        idf = self._idf_list(tok_list, dfs, False)
         df_list = [int(dfs[t]) for t in tok_list]
         cols = [
             "term", "block_id", "is_label", "doc_ids", "tfs",
@@ -1169,7 +1166,9 @@ class BlockSearchEngine:
         # it beat decode-everything 2.4x cold / 1.3x warm on hot
         # uniform-Zipf terms the probe would have declined.  So
         # one-pass-eligible queries skip the probe entirely; the probe
-        # keeps gating the two-phase walk (jarless sessions).
+        # keeps gating the two-phase walk (jarless sessions, forced
+        # WAND_IMPL='twophase', and the sum-df band between the batch
+        # gate and the one-pass gate).
         # double_scores rides the kernel's float64 tail (andScoreD)
         # with roundKeys on, so its in-kernel top-m selection uses the
         # caller's final rounded total order.  Measured crossover:
@@ -1350,14 +1349,7 @@ class BlockSearchEngine:
         for qid, tokens, keywords, wl in qmeta:
             qids.append(qid)
             toks_b.append(list(tokens))
-            idf_b.append(
-                [
-                    float(np.log2(bi.n_docs / dfs[t] + 1.0))
-                    if double_scores
-                    else float(np.float32(np.log2(bi.n_docs / dfs[t] + 1.0)))
-                    for t in tokens
-                ]
-            )
+            idf_b.append(self._idf_list(tokens, dfs, double_scores))
             df_b.append([int(dfs[t]) for t in tokens])
             kws_b.append(list(keywords))
             wl_b.append(None if wl is None else [int(x) for x in wl])

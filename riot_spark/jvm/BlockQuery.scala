@@ -533,24 +533,23 @@ object BlockQuery {
         while (qi < nQ) {
           // AND prune before any decode: all keywords present here?
           if (kwsDistinctB(qi).forall(bm.seen.contains)) {
-            if (doubleScores) {
-              val (ids, scores) = andScoreD(
-                bm, toksB(qi), idfDB(qi), dfB(qi), kwsB(qi), wlB(qi),
-                k1d, bd, avgdld, locsMode)
-              var j = 0
-              while (j < ids.length) {
-                outs += Row(qid(qi), ids(j), scores(j))
-                j += 1
+            // box the mode's score type once; Row boxes regardless
+            val (ids, sBox): (Array[Long], Array[Any]) =
+              if (doubleScores) {
+                val (i, s) = andScoreD(
+                  bm, toksB(qi), idfDB(qi), dfB(qi), kwsB(qi), wlB(qi),
+                  k1d, bd, avgdld, locsMode)
+                (i, s.map(x => x: Any))
+              } else {
+                val (i, s) = andScore(
+                  bm, toksB(qi), idfB(qi), dfB(qi), kwsB(qi), wlB(qi),
+                  k1, b, avg, locsMode)
+                (i, s.map(x => x: Any))
               }
-            } else {
-              val (ids, scores) = andScore(
-                bm, toksB(qi), idfB(qi), dfB(qi), kwsB(qi), wlB(qi),
-                k1, b, avg, locsMode)
-              var j = 0
-              while (j < ids.length) {
-                outs += Row(qid(qi), ids(j), scores(j))
-                j += 1
-              }
+            var j = 0
+            while (j < ids.length) {
+              outs += Row(qid(qi), ids(j), sBox(j))
+              j += 1
             }
           }
           qi += 1
@@ -727,21 +726,21 @@ object BlockQuery {
           qi = 0
           while (qi < nQ) {
             if (active(qi)) {
-              if (doubleScores) {
-                val (ids, scores) = andScoreD(
-                  bm, toksB(qi), idfDB(qi), dfB(qi), kwsB(qi), wlB(qi),
-                  k1d, bd, avgdld, locsMode)
-                var j = 0
-                while (j < ids.length) { offer(qi, ids(j), scores(j)); j += 1 }
-              } else {
-                val (ids, scores) = andScore(
-                  bm, toksB(qi), idfB(qi), dfB(qi), kwsB(qi), wlB(qi),
-                  k1, b, avg, locsMode)
-                var j = 0
-                while (j < ids.length) {
-                  offer(qi, ids(j), scores(j).toDouble); j += 1
+              // both arms offer DOUBLE raw scores (float widening is
+              // exact, and the f32 emit narrows back losslessly)
+              val (ids, scoresD) =
+                if (doubleScores)
+                  andScoreD(
+                    bm, toksB(qi), idfDB(qi), dfB(qi), kwsB(qi), wlB(qi),
+                    k1d, bd, avgdld, locsMode)
+                else {
+                  val (i, s) = andScore(
+                    bm, toksB(qi), idfB(qi), dfB(qi), kwsB(qi), wlB(qi),
+                    k1, b, avg, locsMode)
+                  (i, s.map(_.toDouble))
                 }
-              }
+              var j = 0
+              while (j < ids.length) { offer(qi, ids(j), scoresD(j)); j += 1 }
             }
             qi += 1
           }

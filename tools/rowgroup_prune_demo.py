@@ -38,25 +38,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-
-def _disk_sectors_read() -> int:
-    total = 0
-    with open("/proc/diskstats") as f:
-        for line in f:
-            parts = line.split()
-            if len(parts) > 6 and parts[2].startswith(("vd", "sd", "nvme")):
-                total += int(parts[5])
-    return total
-
-
-def drop_caches() -> bool:
-    try:
-        os.sync()
-        with open("/proc/sys/vm/drop_caches", "w") as f:
-            f.write("3")
-        return True
-    except OSError:
-        return False
+# one copy of the measurement helpers — soak_disk owns the diskstats
+# device filter and the drop_caches protocol
+from tools.soak_disk import _disk_sectors_read, drop_caches  # noqa: E402
 
 
 def run_cell(args) -> int:
@@ -82,6 +66,9 @@ def run_cell(args) -> int:
         )
         .collect()[0]
     )
+    if span["lo"] is None:
+        print(f"no rows for terms {terms!r} in {args.store}", file=sys.stderr)
+        return 2
     lo, hi = int(span["lo"]), int(span["hi"])
     n_ids = max(1, int((hi - lo + 1) * args.frac))
     if args.impl == "scatter":
@@ -102,8 +89,12 @@ def run_cell(args) -> int:
     plan = scan._jdf.queryExecution().executedPlan().toString()
     pushed = "In(block_id" in plan
 
-    if args.cold and not drop_caches():
-        print("WARN: cannot drop caches", file=sys.stderr)
+    # record the temperature HONESTLY: a failed drop (non-root) must
+    # not label a warm page cache as cold
+    is_cold = bool(args.cold and drop_caches())
+    if args.cold and not is_cold:
+        print("WARN: cannot drop caches — recording cold=false",
+              file=sys.stderr)
     sec0 = _disk_sectors_read()
     t0 = time.monotonic()
     # force a full read of the selected postings bytes (decode proxy)
@@ -125,7 +116,7 @@ def run_cell(args) -> int:
                 "posting_mb": round((got["bytes"] or 0) / 1e6, 1),
                 "t_scan_s": round(wall, 3),
                 "read_mb": round(read_mb, 1),
-                "cold": bool(args.cold),
+                "cold": is_cold,
             }
         )
     )

@@ -34,6 +34,7 @@ import argparse
 import hashlib
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -43,13 +44,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+_WHOLE_DISK = re.compile(r"^(?:[vs]d[a-z]+|nvme\d+n\d+)$")
+
+
 def _disk_sectors_read() -> int:
     total = 0
     with open("/proc/diskstats") as f:
         for line in f:
             parts = line.split()
-            # whole-disk devices only (vda, sda, nvme0n1 — not loop/ram)
-            if len(parts) > 6 and parts[2].startswith(("vd", "sd", "nvme")):
+            # whole-disk devices only (vda, sda, nvme0n1) — NOT their
+            # partitions (vda1, nvme0n1p1), whose sectors the kernel
+            # already counts in the whole-disk row, and not loop/ram
+            if len(parts) > 6 and _WHOLE_DISK.match(parts[2]):
                 total += int(parts[5])
     return total
 
