@@ -130,7 +130,7 @@ def run_query_cell(args) -> int:
     return 0
 
 
-def pick_pairs(store: str) -> dict[str, str]:
+def pick_pairs(store: str, count: int = 8) -> dict[str, str]:
     """Term pairs per df tier, chosen from the store's own term_stats."""
     from riot_spark.session import get_spark
 
@@ -141,7 +141,7 @@ def pick_pairs(store: str) -> dict[str, str]:
     by_df = sorted(rows, key=lambda r: -r["df"])
     n = len(by_df)
 
-    def tier(lo_frac, hi_frac, count=8):
+    def tier(lo_frac, hi_frac, count=count):
         lo, hi = int(n * lo_frac), max(int(n * hi_frac), int(n * lo_frac) + count * 2)
         terms = [r["term"] for r in by_df[lo:hi]]
         return ",".join(f"{terms[2*i]}:{terms[2*i+1]}" for i in range(count))
