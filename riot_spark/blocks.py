@@ -1128,41 +1128,13 @@ class BlockSearchEngine:
             for t in kw_set:
                 qterm_rows.append((qid, t, float(idf.get(t, 0.0)), len(kw_set)))
             eps_by_qid[qid] = max(1.0, float(len(tokens))) * 2.0**-20
-        all_terms = sorted({r[1] for r in qterm_rows})
-        matched = bi.blocks.where(F.col("term").isin(all_terms))
-        qterms = spark.createDataFrame(
-            qterm_rows, "query_id STRING, term STRING, idf DOUBLE, n_kw INT"
-        )
-        # label rows pack norm_max = 0, so the when() guard only
-        # matters for a term present BOTH ways in a range; label-only
-        # query terms carry idf 0 (they intersect, never score)
-        bounds = (
-            matched.select("term", "block_id", "is_label", "norm_max")
-            .join(F.broadcast(qterms), "term")
-            .groupBy("query_id", "block_id")
-            .agg(
-                F.countDistinct("term").alias("nt"),
-                F.sum(
-                    F.when(
-                        ~F.col("is_label"), F.col("idf") * F.col("norm_max")
-                    ).otherwise(F.lit(0.0))
-                ).alias("bound"),
-                F.first("n_kw").alias("n_kw"),
-            )
-            .where(F.col("nt") == F.col("n_kw"))
-            .select("query_id", "block_id", "bound")
-            .persist()
-        )
-        self._scratch.append(bounds)
-        chunk = max(8, min(64, max(m_by_qid.values())))
-
         # --- one-pass JVM kernel dispatch (no probe) ---------------
         # The skew probe's premise — "flat bound distributions cannot
         # be pruned, so two kernel passes + a tau collect are wasted"
         # — is a property of the TWO-PHASE plan.  The one-pass kernel
         # wins differently (10M-doc soak, BENCH.md): bounded top-m
         # emission per task, high-bound-first order tightening tau
-        # in-task, candidate-only block join, no driver round-trips —
+        # in-task, zero metadata jobs, no driver round-trips —
         # it beat decode-everything 2.4x cold / 1.3x warm on hot
         # uniform-Zipf terms the probe would have declined.  So
         # one-pass-eligible queries skip the probe entirely; the probe
@@ -1185,9 +1157,14 @@ class BlockSearchEngine:
         scored_op = None
         if op_qids:
             op_meta = [qm for qm in qmeta if qm[0] in op_qids]
+            # the one-pass kernel needs NO bounds table: it orders
+            # block groups by bounds it computes itself from the
+            # shuffled metadata columns — only the op queries' term
+            # rows ship
+            op_terms = sorted({t for _q, _tk, kws, _w in op_meta
+                               for t in kws})
             scored_op = self._wand_onepass_jvm(
-                matched,
-                bounds.where(F.col("query_id").isin(sorted(op_qids))),
+                bi.blocks.where(F.col("term").isin(op_terms)),
                 op_meta,
                 {q: m_by_qid[q] for q in op_qids},
                 eps_by_qid,
@@ -1202,13 +1179,42 @@ class BlockSearchEngine:
                 return scored_op, set()
 
         # --- two-phase walk behind the skew probe ------------------
-        rest_bounds = (
-            bounds.where(~F.col("query_id").isin(sorted(op_qids)))
-            if op_qids
-            else bounds
+        # the bounds table ((query_id, block_id) rows from block
+        # metadata only — norm_max · idf summed over the query's
+        # terms, ranges missing a term AND-pruned) is built lazily
+        # here, for the two-phase queries only: all-one-pass batches
+        # never pay its jobs.  Label rows pack norm_max = 0, so the
+        # when() guard only matters for a term present BOTH ways in a
+        # range; label-only query terms carry idf 0 (they intersect,
+        # never score).
+        rest_terms = sorted({t for _q, _tk, kws, _w in qmeta for t in kws})
+        matched = bi.blocks.where(F.col("term").isin(rest_terms))
+        rest_qids = {qm[0] for qm in qmeta}
+        qterms = spark.createDataFrame(
+            [r for r in qterm_rows if r[0] in rest_qids],
+            "query_id STRING, term STRING, idf DOUBLE, n_kw INT",
         )
+        bounds = (
+            matched.select("term", "block_id", "is_label", "norm_max")
+            .join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "block_id")
+            .agg(
+                F.countDistinct("term").alias("nt"),
+                F.sum(
+                    F.when(
+                        ~F.col("is_label"), F.col("idf") * F.col("norm_max")
+                    ).otherwise(F.lit(0.0))
+                ).alias("bound"),
+                F.first("n_kw").alias("n_kw"),
+            )
+            .where(F.col("nt") == F.col("n_kw"))
+            .select("query_id", "block_id", "bound")
+            .persist()
+        )
+        self._scratch.append(bounds)
+        chunk = max(8, min(64, max(m_by_qid.values())))
         probe = (
-            rest_bounds.groupBy("query_id")
+            bounds.groupBy("query_id")
             .agg(
                 F.max("bound").alias("mx"),
                 F.percentile_approx("bound", 0.9).alias("p90"),
@@ -1227,9 +1233,9 @@ class BlockSearchEngine:
         # term => provably empty either way; drop them from fallback
         fallback &= {r["query_id"] for r in probe}
         if not prunable:
-            if scored_op is None:
-                bounds.unpersist()
-                self._scratch.remove(bounds)
+            # bounds is two-phase-only now (one-pass never reads it)
+            bounds.unpersist()
+            self._scratch.remove(bounds)
             return scored_op, fallback
         qmeta = [qm for qm in qmeta if qm[0] in prunable]
         m_by_qid = {q: m for q, m in m_by_qid.items() if q in prunable}
@@ -1322,7 +1328,6 @@ class BlockSearchEngine:
     def _wand_onepass_jvm(
         self,
         matched: DataFrame,
-        bounds: DataFrame,
         qmeta: list[tuple],
         m_by_qid: dict[str, int],
         eps_by_qid: dict[str, float],
@@ -1333,13 +1338,17 @@ class BlockSearchEngine:
         searchAndBatchPruned): τ-threshold skipping folded INTO the
         kernel, so the pruned plan costs one kernel pass instead of
         two passes + a driver τ collect.  Block rows are colocated by
-        block_id and sorted within each task by the block's best
-        bound, descending — each task walks its most-promising ranges
-        first, exactly like a sequential WAND walk, and emits only its
-        local top-(offset+k) per query (downstream rank-slices the
-        union).  Exact by the same bound-domination argument as the
-        two-phase walk (differential-tested against it and against the
-        unpruned pass)."""
+        block_id; the kernel itself orders each task's block groups by
+        their best bound (computed from the shuffled norm_max
+        metadata), descending — each task walks its most-promising
+        ranges first, exactly like a sequential WAND walk, and emits
+        only its local top-(offset+k) per query (downstream
+        rank-slices the union).  No bounds-table jobs, no broadcast
+        join, no pre-shuffle sort: the whole pruned plan is ONE
+        exchange + ONE kernel stage.  Exact by the same
+        bound-domination argument as the two-phase walk
+        (differential-tested against it and against the unpruned
+        pass)."""
         bi = self.bi
         spark = bi.blocks.sparkSession
         p = bi.params
@@ -1355,21 +1364,14 @@ class BlockSearchEngine:
             wl_b.append(None if wl is None else [int(x) for x in wl])
             ms.append(int(m_by_qid[qid]))
             eps.append(float(eps_by_qid[qid]))
-        # per-block order key = best bound any query holds there; the
-        # bounds table is metadata-sized, its per-block max smaller
-        bkey = bounds.groupBy("block_id").agg(F.max("bound").alias("_bkey"))
         cols = [
             "term", "block_id", "is_label", "doc_ids", "tfs",
             "token_lens", "norm_max",
         ]
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        arranged = (
-            matched.select(cols)
-            .join(F.broadcast(bkey), "block_id")
-            .repartition(n_parts, "block_id")
-            .sortWithinPartitions(F.desc("_bkey"), "block_id")
-            .select(cols)  # positional contract for the kernel
-        )
+        # positional contract for the kernel; block-colocated, order
+        # within the partition irrelevant (the kernel orders groups)
+        arranged = matched.select(cols).repartition(n_parts, "block_id")
         # double mode ranks in-kernel by the caller's FINAL total
         # order (round-half-up 4-decimal key) with the same 1e-4
         # slack the two-phase walk uses, so rounding ties survive
@@ -1505,37 +1507,11 @@ class BlockSearchEngine:
         k: int,
     ) -> DataFrame | None:
         """One-pass pruned top-k for a single AND query: the batch
-        kernel with one query id (bounds table -> best-bound-first
-        sorted pass -> per-task top-k heaps -> global rank slice)."""
-        import math as _m
-
-        bi = self.bi
-        spark = bi.blocks.sparkSession
-        idf = {t: _m.log2(bi.n_docs / dfs[t] + 1.0) for t in tok_list}
-        kw_set = sorted(set(keywords))
-        qterms = spark.createDataFrame(
-            [("q", t, float(idf.get(t, 0.0)), len(kw_set)) for t in kw_set],
-            "query_id STRING, term STRING, idf DOUBLE, n_kw INT",
-        )
-        bounds = (
-            matched.select("term", "block_id", "is_label", "norm_max")
-            .join(F.broadcast(qterms), "term")
-            .groupBy("query_id", "block_id")
-            .agg(
-                F.countDistinct("term").alias("nt"),
-                F.sum(
-                    F.when(
-                        ~F.col("is_label"), F.col("idf") * F.col("norm_max")
-                    ).otherwise(F.lit(0.0))
-                ).alias("bound"),
-                F.first("n_kw").alias("n_kw"),
-            )
-            .where(F.col("nt") == F.col("n_kw"))
-            .select("query_id", "block_id", "bound")
-        )
+        kernel with one query id (in-kernel best-bound-first walk ->
+        per-task top-k heaps -> global rank slice)."""
         eps = {"q": max(1.0, float(len(tok_list))) * 2.0**-20}
         scored = self._wand_onepass_jvm(
-            matched, bounds, [("q", tok_list, keywords, None)],
+            matched, [("q", tok_list, keywords, None)],
             {"q": k}, eps, dfs,
         )
         if scored is None:

@@ -593,10 +593,12 @@ object BlockQuery {
    *  second kernel pass).  One kernel pass, no driver round-trips.
    *
    *  `df` ships (term, block_id, is_label, doc_ids, tfs, token_lens,
-   *  norm_max), block-colocated and sorted WITHIN each partition by
-   *  the per-block best bound, descending — so each task sees its
-   *  most-promising ranges first and its per-query τ tightens as
-   *  early as a sequential WAND walk would.
+   *  norm_max), block-colocated in any within-partition order: the
+   *  kernel buffers its partition, computes each block's best bound
+   *  from the same metadata columns, and walks block groups bound-
+   *  descending — so each task sees its most-promising ranges first
+   *  and its per-query τ tightens as early as a sequential WAND walk
+   *  would, with no pre-shuffle bounds agg, broadcast join, or sort.
    *
    *  Per task, per query: a bounded top-m selector ordered by the
    *  caller's FINAL total order (round-half-up 4-decimal key in
@@ -658,7 +660,6 @@ object BlockQuery {
       val heaps = Array.fill(nQ)(
         new java.util.PriorityQueue[Cand](candOrd))
       val buf = new ArrayBuffer[Row]()
-      var curBlock = Long.MinValue
 
       def offer(qi: Int, docId: Long, score: Double): Unit = {
         val key = if (roundKeys) round4(score) else score
@@ -748,16 +749,72 @@ object BlockQuery {
         buf.clear()
       }
 
+      // best bound any query holds on this block (queries missing a
+      // keyword contribute nothing) — the task-local visit order.
+      // Computing it here, from the same metadata flush() reads,
+      // replaces the driver-side bounds-table agg + broadcast bkey
+      // join + sortWithinPartitions the one-pass plan used to need:
+      // the final top-m selector content is visit-order independent
+      // (total order, no ties), so results are identical — order only
+      // affects how fast each task's tau tightens.
+      def blockKey(g: ArrayBuffer[Row]): Double = {
+        val seen = new java.util.HashSet[String]()
+        val nm = new java.util.HashMap[String, java.lang.Float]()
+        var i = 0
+        while (i < g.length) {
+          val r = g(i)
+          val t = r.getString(0)
+          seen.add(t)
+          if (!r.getBoolean(2)) nm.put(t, r.getFloat(6))
+          i += 1
+        }
+        var best = java.lang.Double.NEGATIVE_INFINITY
+        var qi = 0
+        while (qi < nQ) {
+          if (kwsDistinctB(qi).forall(seen.contains)) {
+            var bound = 0.0
+            val toks = toksB(qi)
+            val idf = idfDB(qi)
+            var ti = 0
+            while (ti < toks.length) {
+              val v = nm.get(toks(ti))
+              if (v != null) bound += idf(ti) * v.toDouble
+              ti += 1
+            }
+            if (bound > best) best = bound
+          }
+          qi += 1
+        }
+        best
+      }
+
       new Iterator[Row] {
         private var out: Iterator[Row] = null
         private def drain(): Unit = {
+          // buffer the partition grouped by block, order blocks by
+          // their best bound descending, then walk — a sequential
+          // WAND visit order with NO pre-shuffle sort or join
+          val groups = new java.util.HashMap[Long, ArrayBuffer[Row]]()
           while (rows.hasNext) {
             val r = rows.next()
             val blk = r.getLong(1)
-            if (blk != curBlock) { flush(); curBlock = blk }
-            buf += r
+            var g = groups.get(blk)
+            if (g == null) { g = new ArrayBuffer[Row](); groups.put(blk, g) }
+            g += r
           }
-          flush()
+          val ordered = new ArrayBuffer[(Double, Long, ArrayBuffer[Row])]()
+          val git = groups.entrySet().iterator()
+          while (git.hasNext) {
+            val e = git.next()
+            ordered += ((blockKey(e.getValue), e.getKey.longValue, e.getValue))
+          }
+          val sorted = ordered.sortBy { case (key, blk, _) => (-key, blk) }
+          var gi = 0
+          while (gi < sorted.length) {
+            buf ++= sorted(gi)._3
+            flush()
+            gi += 1
+          }
           val emitted = new ArrayBuffer[Row]()
           var qi = 0
           while (qi < nQ) {

@@ -600,8 +600,25 @@ def test_wand_batch_matches_unpruned(sf_index, bindex):
     pruned.WAND_FLAT = 2.0  # force past the skew probe
     pruned.WAND_ONEPASS_MIN_POSTINGS = 0  # one-pass kernel when jarred
     want = plain.search_batch(reqs).collect()
+    onepass_calls = []
+    orig_onepass = pruned._wand_onepass_jvm
+
+    def spy(*a, **kw):
+        onepass_calls.append(1)
+        return orig_onepass(*a, **kw)
+
+    pruned._wand_onepass_jvm = spy
     got = pruned.search_batch(reqs).collect()
-    assert pruned._scratch, "WAND pass engaged (scratch persisted)"
+    # engagement proof: jarred sessions take the one-pass kernel
+    # (which persists NO scratch — the pruned plan is one exchange +
+    # one kernel stage); jarless sessions take the two-phase walk,
+    # which persists its bounds table
+    from riot_spark.blocks import jvm_pack_available
+
+    if jvm_pack_available(bindex.blocks.sparkSession):
+        assert onepass_calls, "one-pass WAND kernel engaged"
+    else:
+        assert pruned._scratch, "WAND pass engaged (scratch persisted)"
 
     def by_qid(rows):
         out: dict[str, list] = {}
@@ -622,10 +639,15 @@ def test_wand_batch_matches_unpruned(sf_index, bindex):
         )
     # a fresh batch releases the previous batch's scratch: the new
     # batch holds only its own persists (bounds, plus score1 on the
-    # two-phase path; the one-pass JVM kernel persists no score1)
+    # two-phase path; the one-pass JVM kernel persists NOTHING).
+    # Force the two-phase walk so scratch is actually created.
+    pruned.WAND_IMPL = "twophase"
+    pruned.search_batch(
+        {"q": SearchRequest(text="data", max_outputs=3)}
+    ).collect()
     prev = list(pruned._scratch)
-    pruned.search_batch({"q": SearchRequest(text="data", max_outputs=3)})
-    assert pruned._scratch and len(pruned._scratch) <= 2
+    assert prev and len(prev) <= 2
+    pruned.search_batch({"q2": SearchRequest(text="query", max_outputs=3)})
     assert not any(df is p for df in pruned._scratch for p in prev)
 
 
@@ -661,9 +683,9 @@ def test_wand_onepass_matches_twophase(sf_index, bindex):
     two = forced("twophase")
     got = one.search_batch(reqs).collect()
     want = two.search_batch(reqs).collect()
-    # the one-pass path persists only its bounds table; the two-phase
-    # walk persists bounds + score1
-    assert len(one._scratch) == 1 and len(two._scratch) == 2
+    # the one-pass path persists nothing (one exchange + one kernel
+    # stage); the two-phase walk persists bounds + score1
+    assert len(one._scratch) == 0 and len(two._scratch) == 2
     key = lambda r: (r["query_id"], r["rank"], r["doc_id"])  # noqa: E731
     g, w = sorted(got, key=key), sorted(want, key=key)
     assert [(r["query_id"], r["doc_id"], r["rank"]) for r in g] == [
@@ -678,7 +700,7 @@ def test_wand_onepass_matches_twophase(sf_index, bindex):
     one2, two2 = forced("auto"), forced("twophase")
     got2 = one2.search_batch(reqs, double_scores=True).collect()
     want2 = two2.search_batch(reqs, double_scores=True).collect()
-    assert len(one2._scratch) == 1 and len(two2._scratch) == 2
+    assert len(one2._scratch) == 0 and len(two2._scratch) == 2
     g2, w2 = sorted(got2, key=key), sorted(want2, key=key)
     assert [(r["query_id"], r["doc_id"], r["rank"], r["score"]) for r in g2] \
         == [(r["query_id"], r["doc_id"], r["rank"], r["score"]) for r in w2]

@@ -125,6 +125,14 @@ def parse_eventlog(evdir: str) -> dict:
                     "Executor Run Time", 0)
                 st["max_task_ms"] = max(
                     st.get("max_task_ms", 0), m.get("Executor Run Time", 0))
+                st["gc_ms"] = st.get("gc_ms", 0) + m.get("JVM GC Time", 0)
+                sw = m.get("Shuffle Write Metrics") or {}
+                sr = m.get("Shuffle Read Metrics") or {}
+                st["sw_mb"] = st.get("sw_mb", 0) + sw.get(
+                    "Shuffle Bytes Written", 0) / 1e6
+                st["sr_mb"] = st.get("sr_mb", 0) + (
+                    sr.get("Local Bytes Read", 0)
+                    + sr.get("Remote Bytes Read", 0)) / 1e6
     wanted = sorted(
         {s for j in measured_jobs for s in job_stages.get(j, [])}
     )
@@ -172,6 +180,8 @@ def main() -> None:
             print(f"  stage {sid:>3} wall {s.get('wall_ms', 0)/1e3:7.2f}s "
                   f"task-sum {s.get('task_ms', 0)/1e3:7.2f}s "
                   f"max-task {s.get('max_task_ms', 0)/1e3:6.2f}s "
+                  f"gc {s.get('gc_ms', 0)/1e3:5.2f}s "
+                  f"sw {s.get('sw_mb', 0):7.1f}MB sr {s.get('sr_mb', 0):7.1f}MB "
                   f"x{s.get('tasks', 0):<3} {s.get('name', '?')}")
         print(f"  stage-wall total {total_wall/1e3:.2f}s "
               f"(driver gap = {hdr['time_s'] - total_wall/1e3:.2f}s)")
