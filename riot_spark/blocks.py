@@ -1318,12 +1318,20 @@ class BlockSearchEngine:
     # between, so the gate takes the midpoint.
     WAND_ONEPASS_MIN_POSTINGS = 8_000_000
 
-    # single-query one-pass gate — None = disabled (the default): the
-    # kernel's block-colocation shuffle of matched packed bytes is
-    # shared by a whole batch but unamortized for one query (10M-doc
-    # cold A/B: plain 3.4 s vs one-pass 7.8 s, identical top-k), so
-    # single queries keep the probe-gated threshold walk / plain pass
-    WAND_SINGLE_ONEPASS_MIN_POSTINGS: int | None = None
+    # single-query one-pass gate (None = disabled).  Round 3 measured
+    # the single one-pass LOSING (plain 3.4 s vs one-pass 7.8 s cold)
+    # — but that loss was the bounds-table jobs + bkey broadcast +
+    # sort the plan carried then.  With in-kernel block ordering
+    # (round 4) the one-pass is one exchange + one kernel stage, and
+    # the fresh-JVM cold A/B (tools/soak_disk-style cells, top-100,
+    # digests identical) has it WINNING the threshold walk at every
+    # tier with a measurable walk: 10M-doc store sum-df 19M: 3.8-4.1 s
+    # vs 6.7-7.9 s; 5M: 3.4 vs 10.7; 4M/2M/1M: ~3.0 vs 9-11; and on
+    # the skewed 4M-doc store (the In-pushdown regime the walk was
+    # built for): 2.8-3.5 vs 8-9.  Warm it wins 2.6-5x.  At sum-df
+    # ~340k it's a wash (3.06 vs 3.13 — session fixed cost), so the
+    # gate sits at 500k; below it the walk/plain pass is never worse.
+    WAND_SINGLE_ONEPASS_MIN_POSTINGS: int | None = 500_000
 
     def _wand_onepass_jvm(
         self,
@@ -1429,8 +1437,12 @@ class BlockSearchEngine:
         via a label posting makes the doc unscorable (score 0,
         indexer.go:489-507).
 
-        `wand_mode` picks the top-k walk's latency/throughput trade
-        (both exact, differential-tested):
+        Top-k routing: above ``WAND_SINGLE_ONEPASS_MIN_POSTINGS``
+        sum-df (jarred sessions) the query rides the one-pass JVM
+        kernel — one exchange + one kernel stage, measured fastest at
+        every tier cold and warm.  Otherwise `wand_mode` picks the
+        top-k walk's latency/throughput trade (both exact,
+        differential-tested):
 
         * ``"threshold"`` (default) — after the first bound-ordered
           chunk establishes a kth score, ONE distributed pass scores
@@ -1475,13 +1487,11 @@ class BlockSearchEngine:
             and sum(dfs.values()) >= self.WAND_SINGLE_ONEPASS_MIN_POSTINGS
             and jvm_pack_available(spark)
         ):
-            # single-query twin of the batch one-pass dispatch — OFF by
-            # default: the kernel's block-id shuffle of the matched
-            # packed bytes amortizes over a batch but not over one
-            # query (measured at 10M docs, hot pair, cold: plain 3.4 s
-            # vs one-pass 7.8 s — identical top-k).  Opt-in for
-            # callers whose single queries are hot enough that decode
-            # volume dominates the one extra shuffle.
+            # single-query twin of the batch one-pass dispatch — ON by
+            # default above 500k sum-df since the in-kernel ordering
+            # made the pruned plan one exchange + one kernel stage
+            # (cold 10M-doc A/B: 3.0-4.1 s vs the walk's 6.7-11.3 s,
+            # identical top-k digests; see the gate constant's note).
             scored = self._wand_single_onepass(
                 matched, tok_list, keywords, dfs, int(k)
             )
