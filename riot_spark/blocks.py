@@ -924,7 +924,10 @@ class BlockSearchEngine:
         return DataFrame(jdf, spark)
 
     def _jvm_logic_batch(
-        self, matched: DataFrame, lmeta: list[tuple]
+        self,
+        matched: DataFrame,
+        lmeta: list[tuple],
+        ms: dict[str, int] | None = None,
     ) -> DataFrame | None:
         """JVM twin of the batch logic dispatcher
         (BlockQuery.scala::searchLogicBatch): must/should/notIn set
@@ -934,21 +937,33 @@ class BlockSearchEngine:
         the term lists already filtered to globally-present terms
         (exactly what _make_logic_kernel receives).  Candidates are
         exact doc ids, so this serves the float64-oracle mode too.
-        Returns None when riotspark.jar is absent."""
+
+        `ms` caps a query's per-task emission at offset+k.  Logic
+        ranks by doc_id ascending, so each task walks its blocks
+        block_id-ascending and stops a query at m candidates — the
+        union over tasks still contains the global top-m, and tasks
+        whose capped queries are all filled skip their remaining
+        blocks undecoded (the doc-id-ordered analogue of WAND's
+        early exit).  Callers needing every candidate (CountDocsOnly,
+        the unlimited search_logic surface) pass no caps.  Returns
+        None when riotspark.jar is absent."""
         bi = self.bi
         spark = bi.blocks.sparkSession
         if not jvm_pack_available(spark):
             return None
-        qids, must_b, should_b, notin_b, wl_b = [], [], [], [], []
+        qids, must_b, should_b, notin_b, wl_b, ms_b = [], [], [], [], [], []
         for qid, must, should, not_in, wl in lmeta:
             qids.append(qid)
             must_b.append(list(must))
             should_b.append(list(should))
             notin_b.append(list(not_in))
             wl_b.append(None if wl is None else [int(x) for x in wl])
+            ms_b.append(int(ms.get(qid, 0)) if ms else 0)
         cols = ["term", "block_id", "is_label", "doc_ids"]
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        arranged = matched.select(cols).repartition(n_parts, "block_id")
         jdf = spark._jvm.riotspark.BlockQuery.searchLogicBatch(
-            matched.select(cols)._jdf, qids, must_b, should_b, notin_b, wl_b
+            arranged._jdf, qids, must_b, should_b, notin_b, wl_b, ms_b
         )
         return DataFrame(jdf, spark)
 
@@ -2228,7 +2243,11 @@ class BlockSearchEngine:
         matched = bi.blocks.where(
             F.col("term").isin(sorted(set().union(*qsets.values())))
         )
-        cand = self._jvm_logic_batch(matched, lmeta)
+        # logic ranks by doc_id: cap each query's per-task emission at
+        # offset+k so hot-term logic queries stop decoding early
+        # (k == 0 stays unlimited)
+        ms = {q: (k + off if k > 0 else 0) for q, k, off in meta_rows}
+        cand = self._jvm_logic_batch(matched, lmeta, ms=ms)
         if cand is None:
             # one group per block; all queries share the per-block
             # decode cache (see the AND dispatch for the rationale)

@@ -1143,15 +1143,29 @@ object BlockQuery {
    *  globally-present terms exactly as the pandas path does; block-
    *  level absence is handled here.  CountDocsOnly batches route
    *  through this too (count = must-only candidates, counted by the
-   *  caller).  `df` is projected as (term, block_id, is_label,
-   *  doc_ids) — the logic path never decodes tf/len/position bytes. */
+   *  caller, with every cap 0 = unlimited).  `df` is projected as
+   *  (term, block_id, is_label, doc_ids), block-colocated — the
+   *  logic path never decodes tf/len/position bytes.
+   *
+   *  `ms` caps each query's emission per task (<= 0 = unlimited).
+   *  Logic results rank by doc_id ascending (all scores 0), and a
+   *  block's doc range is an ascending function of block_id, so each
+   *  task walks ITS blocks block_id-ascending and stops a query once
+   *  it emitted m candidates: the task's first m candidates ARE its
+   *  m smallest doc ids, so the union over tasks contains the global
+   *  top-m — the doc-id-ordered analogue of the score-ordered WAND
+   *  early exit (riot's early-exit, core/indexer.go:437-478).  A
+   *  task whose every capped query is satisfied (and that serves no
+   *  unlimited query) skips its remaining blocks without decoding
+   *  them. */
   def searchLogicBatch(
       df: DataFrame,
       qids: java.util.List[String],
       mustB: java.util.List[java.util.List[String]],
       shouldB: java.util.List[java.util.List[String]],
       notinB: java.util.List[java.util.List[String]],
-      whitelists: java.util.List[java.util.List[java.lang.Number]]): DataFrame = {
+      whitelists: java.util.List[java.util.List[java.lang.Number]],
+      ms: java.util.List[java.lang.Number]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val nQ = qids.size
     val qid = qids.asScala.toArray
@@ -1159,6 +1173,7 @@ object BlockQuery {
     val sB = new Array[Array[String]](nQ)
     val nB = new Array[Array[String]](nQ)
     val wlB = new Array[Array[Long]](nQ)
+    val capB = new Array[Int](nQ)
     var q = 0
     while (q < nQ) {
       mB(q) = mustB.get(q).asScala.toArray
@@ -1166,69 +1181,100 @@ object BlockQuery {
       nB(q) = notinB.get(q).asScala.toArray
       val w = whitelists.get(q)
       wlB(q) = if (w == null) null else w.asScala.map(_.longValue).toArray
+      capB(q) = if (ms == null) 0 else ms.get(q).intValue
       q += 1
     }
 
-    df.groupByKey(r => r.getLong(1))(Encoders.scalaLong).flatMapGroups {
-      (_: Long, rows: Iterator[Row]) =>
-        val bm = readBlockN(rows, 4)
-        val outs = new ArrayBuffer[Row]()
+    df.mapPartitions { rows =>
+      // group the task's rows by block, then walk blocks ascending
+      val groups = new java.util.HashMap[Long, ArrayBuffer[Row]]()
+      while (rows.hasNext) {
+        val r = rows.next()
+        val blk = r.getLong(1)
+        var g = groups.get(blk)
+        if (g == null) { g = new ArrayBuffer[Row](); groups.put(blk, g) }
+        g += r
+      }
+      val order = {
+        val ks = new ArrayBuffer[Long](groups.size)
+        val it = groups.keySet().iterator()
+        while (it.hasNext) ks += it.next().longValue
+        ks.sorted
+      }
+      val remaining = capB.map(c => if (c > 0) c else Int.MaxValue)
+      val capped = capB.map(_ > 0)
+      val nUnlimited = capped.count(!_)
+      var nActive = capped.count(identity) // capped queries still unfilled
+      val outs = new ArrayBuffer[Row]()
 
-        def emit(qi: Int, cur: Array[Long]): Unit = {
-          var j = 0
-          while (j < cur.length) { outs += Row(qid(qi), cur(j)); j += 1 }
+      def emit(qi: Int, cur: Array[Long]): Unit = {
+        val take =
+          if (capped(qi)) math.min(remaining(qi), cur.length) else cur.length
+        var j = 0
+        while (j < take) { outs += Row(qid(qi), cur(j)); j += 1 }
+        if (capped(qi)) {
+          remaining(qi) -= take
+          if (remaining(qi) == 0) nActive -= 1
         }
+      }
 
+      var bi = 0
+      while (bi < order.length && (nUnlimited > 0 || nActive > 0)) {
+        val bm = readBlockN(groups.get(order(bi)).iterator, 4)
         var qi = 0
         while (qi < nQ) {
-          val must = mB(qi); val should = sB(qi); val notin = nB(qi)
-          var cur: Array[Long] = null
-          var skip = false
-          var done = false
-          if (must.nonEmpty) {
-            if (!must.forall(bm.seen.contains)) skip = true
-            else {
-              val ordered = must.sortBy(t => bm.idsOf(t).length)
-              cur = bm.idsOf(ordered(0))
-              var oi = 1
-              while (oi < ordered.length && cur.length > 0) {
-                cur = intersectSorted(cur, bm.idsOf(ordered(oi)))
-                oi += 1
+          if (!capped(qi) || remaining(qi) > 0) {
+            val must = mB(qi); val should = sB(qi); val notin = nB(qi)
+            var cur: Array[Long] = null
+            var skip = false
+            var done = false
+            if (must.nonEmpty) {
+              if (!must.forall(bm.seen.contains)) skip = true
+              else {
+                val ordered = must.sortBy(t => bm.idsOf(t).length)
+                cur = bm.idsOf(ordered(0))
+                var oi = 1
+                while (oi < ordered.length && cur.length > 0) {
+                  cur = intersectSorted(cur, bm.idsOf(ordered(oi)))
+                  oi += 1
+                }
+                if (cur.length == 0) skip = true
+                else if (should.nonEmpty) {
+                  val sh = should.filter(bm.seen.contains).map(bm.idsOf)
+                  if (sh.isEmpty) skip = true
+                  else cur = intersectSorted(cur, unionAll(sh.toSeq))
+                }
               }
-              if (cur.length == 0) skip = true
-              else if (should.nonEmpty) {
-                val sh = should.filter(bm.seen.contains).map(bm.idsOf)
-                if (sh.isEmpty) skip = true
-                else cur = intersectSorted(cur, unionAll(sh.toSeq))
+            } else if (should.nonEmpty) {
+              val sh = should.filter(bm.seen.contains).map(bm.idsOf)
+              if (sh.isEmpty) skip = true
+              else cur = unionAll(sh.toSeq)
+            } else {
+              // notIn-only quirk: the notIn docs themselves, whitelist
+              // applied, NO subtraction (indexer.go:660-682)
+              val ni = notin.filter(bm.seen.contains).map(bm.idsOf)
+              if (ni.isEmpty) skip = true
+              else {
+                cur = unionAll(ni.toSeq)
+                if (wlB(qi) != null) cur = intersectSorted(cur, wlB(qi))
+                emit(qi, cur)
+                done = true
               }
             }
-          } else if (should.nonEmpty) {
-            val sh = should.filter(bm.seen.contains).map(bm.idsOf)
-            if (sh.isEmpty) skip = true
-            else cur = unionAll(sh.toSeq)
-          } else {
-            // notIn-only quirk: the notIn docs themselves, whitelist
-            // applied, NO subtraction (indexer.go:660-682)
-            val ni = notin.filter(bm.seen.contains).map(bm.idsOf)
-            if (ni.isEmpty) skip = true
-            else {
-              cur = unionAll(ni.toSeq)
+            if (!skip && !done) {
+              if (notin.nonEmpty) {
+                val ni = notin.filter(bm.seen.contains).map(bm.idsOf)
+                if (ni.nonEmpty) cur = diffSorted(cur, unionAll(ni.toSeq))
+              }
               if (wlB(qi) != null) cur = intersectSorted(cur, wlB(qi))
               emit(qi, cur)
-              done = true
             }
-          }
-          if (!skip && !done) {
-            if (notin.nonEmpty) {
-              val ni = notin.filter(bm.seen.contains).map(bm.idsOf)
-              if (ni.nonEmpty) cur = diffSorted(cur, unionAll(ni.toSeq))
-            }
-            if (wlB(qi) != null) cur = intersectSorted(cur, wlB(qi))
-            emit(qi, cur)
           }
           qi += 1
         }
-        outs.iterator
+        bi += 1
+      }
+      outs.iterator
     }(Encoders.row(logicBatchSchema))
   }
 }

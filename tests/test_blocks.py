@@ -395,6 +395,41 @@ def test_block_logic_matches_flat(sf_index, bindex, must, should, notin):
     assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in flat)
 
 
+def test_logic_batch_early_exit_matches_flat(sf_index, bindex):
+    """The capped JVM logic batch (per-task emission stops at
+    offset+k, blocks walked doc-ascending, satisfied tasks skip the
+    rest) must slice identically to the flat engine across shapes —
+    incl. offsets and k smaller than one block's match count, where
+    the trim actually bites (doc_block_bits=6 => ~64-doc ranges,
+    'data' matches hundreds of docs)."""
+    from riot_spark.blocks import jvm_pack_available
+
+    if not jvm_pack_available(bindex.blocks.sparkSession):
+        pytest.skip("riotspark.jar not on the session classpath")
+    reqs = {
+        "msn": SearchRequest(must=["data"], should=["query", "spark"],
+                             not_in=["dup"], max_outputs=5),
+        "off": SearchRequest(must=["data"], max_outputs=4, offset=7),
+        "sh": SearchRequest(should=["query", "spark"], max_outputs=6),
+        "ni": SearchRequest(not_in=["dup"], max_outputs=3),
+        "wl": SearchRequest(must=["data"], doc_ids=list(range(0, 400, 3)),
+                            max_outputs=5),
+        "all": SearchRequest(must=["data"], not_in=["query"]),  # k=0
+    }
+    flat_eng = SearchEngine(sf_index)
+    got = BlockSearchEngine(bindex).search_batch(reqs).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"])
+        )
+    for qid, req in reqs.items():
+        want = flat_eng.search(req).collect()
+        want_ids = [r["doc_id"] for r in want]
+        got_ids = [d for _rk, d in by_q.get(qid, [])]
+        assert got_ids == want_ids, qid
+
+
 def test_budgeted_search_partial_results(sf_index):
     """Q13 batch analogue: a generous budget returns the exact top-k
     with timed_out=False; a zero budget returns a bound-ordered
