@@ -967,6 +967,31 @@ class BlockSearchEngine:
         )
         return DataFrame(jdf, spark)
 
+    def _jvm_count_batch(
+        self, matched: DataFrame, lmeta: list[tuple]
+    ) -> DataFrame | None:
+        """JVM per-task count kernel (BlockQuery.countLogicBatch):
+        must-intersection sizes summed per block inside each task —
+        only (query_id, partial-count) longs ever move, instead of
+        O(df) candidate rows.  Exact because blocks partition the doc
+        space.  Returns None when riotspark.jar is absent."""
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        if not jvm_pack_available(spark):
+            return None
+        qids, must_b, wl_b = [], [], []
+        for qid, must, _should, _notin, wl in lmeta:
+            qids.append(qid)
+            must_b.append(list(must))
+            wl_b.append(None if wl is None else [int(x) for x in wl])
+        cols = ["term", "block_id", "is_label", "doc_ids"]
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        arranged = matched.select(cols).repartition(n_parts, "block_id")
+        jdf = spark._jvm.riotspark.BlockQuery.countLogicBatch(
+            arranged._jdf, qids, must_b, wl_b
+        )
+        return DataFrame(jdf, spark)
+
     def _pandas_and_batch(
         self,
         matched: DataFrame,
@@ -1324,6 +1349,11 @@ class BlockSearchEngine:
     # falling back to the two-phase Python-orchestrated walk;
     # 'twophase' forces the walk (the A/B twin, and the jarless path).
     WAND_IMPL = "auto"
+
+    # single-keyword no-whitelist counts answered from block metadata
+    # (sum of n; doc_ids bytes never scanned) — False forces every
+    # count through the kernel (the A/B twin)
+    COUNT_METADATA_ROUTE = True
 
     # one-pass df gate: sum of keyword dfs above which the single-pass
     # pruned kernel beats the decode-everything batch pass.  Measured
@@ -2304,7 +2334,24 @@ class BlockSearchEngine:
         carried as DOUBLE regardless of the batch's score type:
         float32 is exact only to 2^24, so a count above ~16.7M docs
         (routine at the target scale) would silently round; double is
-        exact to 2^53."""
+        exact to 2^53.
+
+        Count routing, cheapest plan first:
+
+        * single keyword, no whitelist — METADATA ONLY: per (term,
+          block) rows are distinct sorted doc ids, and blocks
+          partition the doc space, so count = Σ n over the term's
+          block rows.  The scan reads the 8-byte ``n`` column, never
+          the packed doc_ids bytes (column pruning) — a hot-term count
+          at 10^12 docs is O(term's blocks) metadata rows, not O(df)
+          decoded postings.  A term carrying BOTH a content and a
+          label row in some block could double-count the docs present
+          in both, so any such term falls back to the kernel.
+        * everything else — in-kernel per-block counting
+          (BlockQuery.countLogicBatch): the intersection SIZE is
+          summed per task and only (query_id, partial-count) longs
+          move; the jarless fallback keeps the emit-candidates
+          + count aggregation."""
         bi = self.bi
         spark = bi.blocks.sparkSession
         all_kw: set[str] = set()
@@ -2326,15 +2373,52 @@ class BlockSearchEngine:
                 )
             lmeta.append((qid, keywords, [], [], wl))
             qsets[qid] = set(keywords)
+        meta_rows_out: list[tuple] = []
+        if lmeta:
+            single_terms = sorted(
+                {kw[0] for _q, kw, _s, _n, wl in lmeta
+                 if len(kw) == 1 and wl is None}
+            ) if self.COUNT_METADATA_ROUTE else []
+            if single_terms:
+                stats = (
+                    bi.blocks.where(F.col("term").isin(single_terms))
+                    .groupBy("term", "block_id")
+                    .agg(
+                        F.count(F.lit(1)).alias("ways"),
+                        F.sum("n").alias("sn"),
+                    )
+                    .groupBy("term")
+                    .agg(
+                        F.sum("sn").alias("total"),
+                        F.max("ways").alias("mx"),
+                    )
+                    .collect()
+                )  # O(batch's single terms) rows
+                meta_count = {
+                    r["term"]: int(r["total"])
+                    for r in stats
+                    if r["mx"] == 1  # no dual content+label block
+                }
+                kept: list[tuple] = []
+                for qm in lmeta:
+                    qid, kw, _s, _n, wl = qm
+                    if len(kw) == 1 and wl is None and kw[0] in meta_count:
+                        meta_rows_out.append((qid, meta_count[kw[0]]))
+                    else:
+                        kept.append(qm)
+                lmeta = kept
         out = None
         if lmeta:
             matched = bi.blocks.where(
-                F.col("term").isin(sorted(set().union(*qsets.values())))
+                F.col("term").isin(
+                    sorted(set().union(*(set(qm[1]) for qm in lmeta)))
+                )
             )
-            # count = must-only candidates: the JVM logic kernel serves
-            # this shape directly (no tf decode on either path)
-            cand = self._jvm_logic_batch(matched, lmeta)
-            if cand is None:
+            # count = must-only candidates: the JVM count kernel sums
+            # intersection sizes in-task (no tf decode on either path)
+            cand = None
+            counts = self._jvm_count_batch(matched, lmeta)
+            if counts is None:
                 kernels = {
                     qid: self._make_logic_kernel(kw, [], [], whitelist=wl)
                     for qid, kw, _s, _n, wl in lmeta
@@ -2364,12 +2448,15 @@ class BlockSearchEngine:
                 cand = matched.groupBy("block_id").applyInPandas(
                     dispatch, "query_id STRING, doc_id LONG"
                 )
-            counts = cand.groupBy("query_id").agg(
-                F.count("*").alias("cnt")
-            )
+                counts = cand.groupBy("query_id").agg(
+                    F.count(F.lit(1)).cast("long").alias("cnt")
+                )
+            else:
+                counts = counts.groupBy("query_id").agg(
+                    F.sum("cnt").alias("cnt")
+                )
             all_qids = spark.createDataFrame(
-                [(q,) for q in requests if q not in zero_qids],
-                "query_id STRING",
+                [(qm[0],) for qm in lmeta], "query_id STRING"
             )
             out = all_qids.join(counts, "query_id", "left").select(
                 "query_id",
@@ -2377,6 +2464,16 @@ class BlockSearchEngine:
                 F.coalesce("cnt", F.lit(0)).cast("double").alias("score"),
                 F.lit(0).alias("rank"),
             )
+        if meta_rows_out:
+            meta_df = spark.createDataFrame(
+                meta_rows_out, "query_id STRING, cnt LONG"
+            ).select(
+                "query_id",
+                F.lit(None).cast("long").alias("doc_id"),
+                F.col("cnt").cast("double").alias("score"),
+                F.lit(0).alias("rank"),
+            )
+            out = meta_df if out is None else out.unionByName(meta_df)
         if zero_qids:
             zeros = spark.createDataFrame(
                 [(q,) for q in zero_qids], "query_id STRING"

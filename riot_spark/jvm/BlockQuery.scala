@@ -1119,6 +1119,77 @@ object BlockQuery {
     StructField("doc_id", LongType, nullable = false)
   ))
 
+  private val countBatchSchema = StructType(Seq(
+    StructField("query_id", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false)
+  ))
+
+  /** Batched CountDocsOnly: the must-intersection SIZE summed
+   *  in-kernel per block (blocks partition the doc space, so
+   *  per-block counts sum exactly), one (query_id, partial-count) row
+   *  per query per task — a hot-term count no longer ships O(df)
+   *  candidate rows through a shuffle, it ships O(queries x tasks)
+   *  longs.  Whitelists intersect before counting (LogicLookup,
+   *  core/indexer.go:632-637).  `df` is (term, block_id, is_label,
+   *  doc_ids), block-colocated. */
+  def countLogicBatch(
+      df: DataFrame,
+      qids: java.util.List[String],
+      mustB: java.util.List[java.util.List[String]],
+      whitelists: java.util.List[java.util.List[java.lang.Number]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val nQ = qids.size
+    val qid = qids.asScala.toArray
+    val mB = new Array[Array[String]](nQ)
+    val wlB = new Array[Array[Long]](nQ)
+    var q = 0
+    while (q < nQ) {
+      mB(q) = mustB.get(q).asScala.toArray.distinct
+      val w = whitelists.get(q)
+      wlB(q) = if (w == null) null else w.asScala.map(_.longValue).toArray
+      q += 1
+    }
+    df.mapPartitions { rows =>
+      val groups = new java.util.HashMap[Long, ArrayBuffer[Row]]()
+      while (rows.hasNext) {
+        val r = rows.next()
+        val blk = r.getLong(1)
+        var g = groups.get(blk)
+        if (g == null) { g = new ArrayBuffer[Row](); groups.put(blk, g) }
+        g += r
+      }
+      val cnt = new Array[Long](nQ)
+      val git = groups.values().iterator()
+      while (git.hasNext) {
+        val bm = readBlockN(git.next().iterator, 4)
+        var qi = 0
+        while (qi < nQ) {
+          val must = mB(qi)
+          if (must.forall(bm.seen.contains)) {
+            val ordered = must.sortBy(t => bm.idsOf(t).length)
+            var cur = bm.idsOf(ordered(0))
+            var oi = 1
+            while (oi < ordered.length && cur.length > 0) {
+              cur = intersectSorted(cur, bm.idsOf(ordered(oi)))
+              oi += 1
+            }
+            if (wlB(qi) != null && cur.length > 0)
+              cur = intersectSorted(cur, wlB(qi))
+            cnt(qi) += cur.length
+          }
+          qi += 1
+        }
+      }
+      val outs = new ArrayBuffer[Row](nQ)
+      var qi = 0
+      while (qi < nQ) {
+        if (cnt(qi) > 0) outs += Row(qid(qi), cnt(qi))
+        qi += 1
+      }
+      outs.iterator
+    }(Encoders.row(countBatchSchema))
+  }
+
   /** Union of k sorted distinct arrays (np.unique(concatenate)). */
   private def unionAll(arrs: Seq[Array[Long]]): Array[Long] =
     arrs.reduce(unionSorted)

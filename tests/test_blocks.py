@@ -395,6 +395,46 @@ def test_block_logic_matches_flat(sf_index, bindex, must, should, notin):
     assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in flat)
 
 
+def test_count_batch_routes_match_flat(spark, sf_index, bindex):
+    """CountDocsOnly routing: single-keyword no-whitelist counts come
+    from block metadata only (sum of n, doc_ids never read);
+    whitelisted and multi-keyword counts ride the in-kernel per-block
+    count; a term with a dual content+label block falls back off the
+    metadata route.  Every route must equal the flat engine's count."""
+    flat_eng = SearchEngine(sf_index)
+    beng = BlockSearchEngine(bindex)
+    reqs = {
+        "single": SearchRequest(text="data", count_docs_only=True),
+        "single2": SearchRequest(text="query", count_docs_only=True),
+        "multi": SearchRequest(text="data query", count_docs_only=True),
+        "wl": SearchRequest(text="data", doc_ids=list(range(0, 300, 2)),
+                            count_docs_only=True),
+        "miss": SearchRequest(text="zzznope", count_docs_only=True),
+    }
+    got = {r["query_id"]: int(r["score"])
+           for r in beng.search_batch(reqs).collect()}
+    want = {r["query_id"]: int(r["score"])
+            for r in flat_eng.search_batch(reqs).collect()}
+    assert got == want
+
+    # dual content+label term: 'data' as text token AND as a label on
+    # every doc => some block holds it both ways => metadata route
+    # must refuse it (double-count risk) and the kernel must still
+    # count distinct docs
+    docs = load_documents(spark, SF_SMOKE).withColumn(
+        "labels", F.array(F.lit("data"))
+    )
+    cfg = EngineConfig(index_type=FREQUENCIES_INDEX, num_index_partitions=8)
+    idx = build_index(docs, cfg, labels_col="labels")
+    bi2 = blocked_from_index(idx, doc_block_bits=6)
+    dual_req = {"dual": SearchRequest(text="data", count_docs_only=True)}
+    got2 = BlockSearchEngine(bi2).search_batch(dual_req).collect()
+    want2 = SearchEngine(idx).search_batch(dual_req).collect()
+    assert int(got2[0]["score"]) == int(want2[0]["score"])
+    # every doc carries the 'data' label => count = all docs
+    assert int(got2[0]["score"]) == idx.n_docs
+
+
 def test_logic_batch_early_exit_matches_flat(sf_index, bindex):
     """The capped JVM logic batch (per-task emission stops at
     offset+k, blocks walked doc-ascending, satisfied tasks skip the
