@@ -458,6 +458,10 @@ class BlockedIndex:
     avgdl: float
     params: BM25Params
     has_positions: bool = False
+    # doc-range width exponent (block_id = doc_id >> doc_block_bits);
+    # None on stores written before the stat existed — block_bits()
+    # infers it from one block row
+    doc_block_bits: int | None = None
     _term_df_cache: dict | None = None
     # DataFrames THIS index pinned in executor memory (its own cached
     # blocks, the boundary-repack persist from merge_blocked_many) —
@@ -476,6 +480,29 @@ class BlockedIndex:
             except Exception:
                 pass
         self._pinned = []
+
+    def block_bits(self) -> int | None:
+        """doc_block_bits, inferring it from one block row on stores
+        written before the stat was persisted: for block_id B >= 1
+        holding first_doc_id F, the b with F >> b == B is unique.
+        None on a single-block corpus (block prune impossible AND
+        pointless there)."""
+        if self.doc_block_bits is not None:
+            return self.doc_block_bits
+        rows = (
+            self.blocks.where(F.col("block_id") > 0)
+            .select("block_id", "first_doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        blk, first = int(rows[0]["block_id"]), int(rows[0]["first_doc_id"])
+        for b in range(1, 48):
+            if first >> b == blk:
+                self.doc_block_bits = b
+                return b
+        return None
 
     def lookup_terms(self, terms: list[str]) -> dict[str, int]:
         if self._term_df_cache is not None:
@@ -517,6 +544,7 @@ def blocked_from_index(
         avgdl=index.avgdl,
         params=index.config.bm25,
         has_positions=index.config.index_type == LOCS_INDEX,
+        doc_block_bits=doc_block_bits,
         _term_df_cache=index._term_df_cache,
         _pinned=pinned,
     )
@@ -610,6 +638,7 @@ def merge_blocked_many(
             avgdl=avgdl,
             params=first.params,
             has_positions=first.has_positions,
+            doc_block_bits=first.doc_block_bits,
         )
     union = tagged[0]
     for t in tagged[1:]:
@@ -726,6 +755,7 @@ def merge_blocked_many(
         avgdl=avgdl,
         params=first.params,
         has_positions=first.has_positions,
+        doc_block_bits=first.doc_block_bits,
         _pinned=pinned,
     )
 
@@ -862,13 +892,19 @@ class BlockSearchEngine:
         return DataFrame(jdf, spark)
 
     def _make_jvm_prox_apply(
-        self, tok_list: list[str], keywords: list[str], dfs: dict[str, int]
+        self,
+        tok_list: list[str],
+        keywords: list[str],
+        dfs: dict[str, int],
+        whitelist: list[int] | None = None,
     ):
         """JVM twin of the pandas AND+proximity kernel
         (BlockQuery.scala::searchProx): float32 BM25 via the shared
         andScore body plus the token-proximity DP with snippet-path
         reconstruction, all over the packed positions inside the
-        executor.  Returns an apply(df)->DataFrame or None when
+        executor.  `whitelist` (sorted doc ids) restricts scoring/DP
+        to those docs — the hydrate half of the rank-then-hydrate
+        top-k route.  Returns an apply(df)->DataFrame or None when
         riotspark.jar is absent.  Bit-identical to the pandas kernel
         (tests/test_jvm_packer.py::test_jvm_prox_single)."""
         bi = self.bi
@@ -878,6 +914,7 @@ class BlockSearchEngine:
         p = bi.params
         idf = self._idf_list(tok_list, dfs, False)
         df_list = [int(dfs[t]) for t in tok_list]
+        wl = None if whitelist is None else sorted(int(x) for x in whitelist)
         cols = [
             "term", "block_id", "is_label", "doc_ids", "tfs",
             "token_lens", "positions",
@@ -887,7 +924,7 @@ class BlockSearchEngine:
             jdf = spark._jvm.riotspark.BlockQuery.searchProx(
                 df.select(cols)._jdf,
                 list(tok_list), idf, df_list, list(keywords),
-                float(p.k1), float(p.b), float(bi.avgdl),
+                float(p.k1), float(p.b), float(bi.avgdl), wl,
             )
             return DataFrame(jdf, spark)
 
@@ -1526,6 +1563,25 @@ class BlockSearchEngine:
 
         if (
             k
+            and do_prox
+            and self.WAND_IMPL != "twophase"
+            and self.WAND_SINGLE_ONEPASS_MIN_POSTINGS is not None
+            and sum(dfs.values()) >= self.WAND_SINGLE_ONEPASS_MIN_POSTINGS
+            and k <= self.WAND_PUSHDOWN_IDS
+            and jvm_pack_available(spark)
+        ):
+            # rank-then-hydrate: the ranking is BM25 (proximity +
+            # snippets are supplementary columns), so the top-k ids
+            # come from the positions-FREE one-pass kernel (column
+            # pruning keeps the packed positions unread), and only
+            # the k winners' blocks are decoded for the DP
+            out = self._prox_rank_then_hydrate(
+                matched, tok_list, keywords, dfs, int(k)
+            )
+            if out is not None:
+                return out
+        if (
+            k
             and not do_prox
             and self.WAND_IMPL != "twophase"
             and self.WAND_SINGLE_ONEPASS_MIN_POSTINGS is not None
@@ -1552,6 +1608,59 @@ class BlockSearchEngine:
         scored = apply_and(matched)
         out = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.limit(k) if k else out
+
+    def _prox_rank_then_hydrate(
+        self,
+        matched: DataFrame,
+        tok_list: list[str],
+        keywords: list[str],
+        dfs: dict[str, int],
+        k: int,
+    ) -> DataFrame | None:
+        """Top-k proximity/snippet queries in two exact phases:
+
+        1. RANK — the positions-free one-pass WAND kernel finds the
+           top-k (doc_id, score); parquet column pruning means the
+           packed positions bytes (the largest store column) are
+           never read.  locsMode keeps the partial-locations guard:
+           label-only matches score 0 here exactly as the full prox
+           kernel would score them, so the top-k id set is identical.
+        2. HYDRATE — only the winners' blocks (In(block_id) scan
+           pushdown, <= k row-group-prunable ranges) are decoded for
+           the proximity DP + snippet path, whitelisted to the k ids.
+
+        Same rows as the decode-everything prox plan (same float32
+        andScore both phases; `test_prox_rank_then_hydrate`)."""
+        ranked = self._wand_single_onepass(
+            matched, tok_list, keywords, dfs, k
+        )
+        if ranked is None:
+            return None
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        out_schema = (
+            "doc_id LONG, score FLOAT, proximity INT, "
+            "snippet_locs ARRAY<INT>"
+        )
+        winners = ranked.collect()  # <= k <= WAND_PUSHDOWN_IDS rows
+        if not winners:
+            return spark.createDataFrame([], out_schema)
+        ids = sorted(int(r["doc_id"]) for r in winners)
+        bits = bi.block_bits()
+        hyd = matched
+        if bits is not None:
+            blks = sorted({d >> bits for d in ids})
+            hyd = matched.where(F.col("block_id").isin(blks))
+        apply_p = self._make_jvm_prox_apply(
+            tok_list, keywords, dfs, whitelist=ids
+        )
+        if apply_p is None:
+            return None
+        return (
+            apply_p(hyd)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def _wand_single_onepass(
         self,
@@ -2765,9 +2874,11 @@ def write_blocked_index(
                 bindex.params.k1,
                 bindex.params.b,
                 bool(bindex.has_positions),
+                bindex.doc_block_bits,
             )
         ],
-        "n_docs LONG, avgdl DOUBLE, k1 DOUBLE, b DOUBLE, has_positions BOOLEAN",
+        "n_docs LONG, avgdl DOUBLE, k1 DOUBLE, b DOUBLE, "
+        "has_positions BOOLEAN, doc_block_bits INT",
     ).write.mode("overwrite").parquet(f"{path}/global_stats")
     per_part = (
         bindex.blocks.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -3071,6 +3182,7 @@ def delete_from_blocked(
         avgdl=avgdl,
         params=bi.params,
         has_positions=bi.has_positions,
+        doc_block_bits=bi.doc_block_bits,
         _pinned=pinned,
     )
 
@@ -3209,6 +3321,11 @@ def read_blocked_index(spark: SparkSession, path: str) -> BlockedIndex:
         avgdl=float(g["avgdl"]),
         params=BM25Params(k1=float(g["k1"]), b=float(g["b"])),
         has_positions=bool(row.get("has_positions", False)),
+        doc_block_bits=(
+            int(row["doc_block_bits"])
+            if row.get("doc_block_bits") is not None
+            else None  # pre-stat store: block_bits() infers on demand
+        ),
     )
     seg_root = f"{path}/segments"
     segs = sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []

@@ -917,7 +917,8 @@ object BlockQuery {
       tokIdf: java.util.List[java.lang.Number],
       tokDf: java.util.List[java.lang.Number],
       kwTerms: java.util.List[String],
-      k1d: Double, bd: Double, avgdld: Double): DataFrame = {
+      k1d: Double, bd: Double, avgdld: Double,
+      whitelist: java.util.List[java.lang.Number]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val toks: Array[String] = tokTerms.asScala.toArray
     val idf: Array[Float] = tokIdf.asScala.map(_.doubleValue.toFloat).toArray
@@ -929,6 +930,9 @@ object BlockQuery {
     val avg = avgdld.toFloat
     val nKw = kws.toSet.size
     val nTok = toks.length
+    val wl: Array[Long] =
+      if (whitelist == null) null
+      else whitelist.asScala.map(_.longValue).toArray
 
     df.groupByKey(r => r.getLong(1))(Encoders.scalaLong).flatMapGroups {
       (_: Long, rows: Iterator[Row]) =>
@@ -936,7 +940,7 @@ object BlockQuery {
         if (bm.seen.size != nKw) Iterator.empty // AND prune
         else {
           val (ids, scores) =
-            andScore(bm, toks, idf, dfList, kws, null, k1, b, avg, true)
+            andScore(bm, toks, idf, dfList, kws, wl, k1, b, avg, true)
           if (ids.isEmpty) Iterator.empty
           else {
             val nC = ids.length

@@ -395,6 +395,43 @@ def test_block_logic_matches_flat(sf_index, bindex, must, should, notin):
     assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in flat)
 
 
+def test_prox_rank_then_hydrate(locs_sf_index, locs_bindex):
+    """Top-k proximity/snippet queries via rank-then-hydrate (gate
+    forced open) must return exactly the decode-everything prox
+    plan's rows — doc ids, float32 scores, proximity values, and
+    snippet paths."""
+    from riot_spark.blocks import jvm_pack_available
+
+    if not jvm_pack_available(locs_bindex.blocks.sparkSession):
+        pytest.skip("riotspark.jar not on the session classpath")
+    plain = BlockSearchEngine(locs_bindex)
+    fast = BlockSearchEngine(locs_bindex)
+    fast.WAND_SINGLE_ONEPASS_MIN_POSTINGS = 0  # force the route
+    calls = []
+    orig = fast._prox_rank_then_hydrate
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    fast._prox_rank_then_hydrate = spy
+    for toks, k in ([["data", "query"], 10], [["data"], 25],
+                    [["group"], 500]):  # k > matches: short winners
+        want = plain.search_and(toks, k=k, proximity=True).collect()
+        calls.clear()
+        got = fast.search_and(toks, k=k, proximity=True).collect()
+        assert calls, (toks, k)
+        assert [
+            (r["doc_id"], np.float32(r["score"]), r["proximity"],
+             list(r["snippet_locs"]))
+            for r in got
+        ] == [
+            (r["doc_id"], np.float32(r["score"]), r["proximity"],
+             list(r["snippet_locs"]))
+            for r in want
+        ], (toks, k)
+
+
 def test_count_batch_routes_match_flat(spark, sf_index, bindex):
     """CountDocsOnly routing: single-keyword no-whitelist counts come
     from block metadata only (sum of n, doc_ids never read);
