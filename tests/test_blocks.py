@@ -1279,7 +1279,7 @@ def test_single_query_onepass_matches_plain(sf_index, bindex):
     plain = BlockSearchEngine(bindex)
     plain.WAND_MIN_POSTINGS = 10**18  # decode-everything reference
     one = BlockSearchEngine(bindex)
-    one.WAND_SINGLE_ONEPASS_MIN_POSTINGS = 0  # opt-in route
+    one.WAND_SINGLE_ONEPASS_MIN_POSTINGS = 0  # force (default gate 500k)
     for toks, k in ([["data", "query"], 10], [["data"], 25],
                     [["group"], 500]):  # k > matches: no-tau branch
         want = plain.search_and(toks, k=k).collect()
