@@ -214,6 +214,19 @@ def main() -> None:
     queries["q_block_proximity"] = timed(
         lambda: beng.search_and(["data", "query"], proximity=True).collect()
     )
+    # round-4 routes: metadata-only single-term count (doc_ids bytes
+    # never scanned) and the doc-ordered early-exit logic top-k
+    queries["q_block_count1"] = timed(
+        lambda: beng.search_batch(
+            {"c": SearchRequest(tokens=["data"], count_docs_only=True)}
+        ).collect()
+    )
+    queries["q_block_logic_topk"] = timed(
+        lambda: beng.search_batch(
+            {"l": SearchRequest(must=["data"], not_in=["dup"],
+                                max_outputs=100)}
+        ).collect()
+    )
 
     # CANONICAL mixed batch: the full shape surface (AND/rev/
     # whitelist, proximity-criteria, logic, count, orderless) through
