@@ -171,8 +171,8 @@ def _search(spark, sf, req: SearchRequest, with_labels=False) -> DataFrame:
 # COVERAGE.md keeps at least one gated row; near-duplicate shape
 # variants (e.g. the block twin of a flat request shape already
 # in-window) overflow past the cap and stay covered by
-# tools/check_correctness.py. Invariant: 68 registered / 50
-# driver-gated / 18 locally gated.
+# tools/check_correctness.py. Invariant: 69 registered / 50
+# driver-gated / 19 locally gated.
 GATE_WINDOW: list[str] = [
     # flat fulltext core — one row per request/semantic family
     "ft_and2_bm25", "ft_missing_term", "ft_count_only", "ft_orderless",
@@ -398,6 +398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (integer-quantized means, md5-seeded) — the oracle RE-TRAINS
     # independently in SQL and must land on identical clusters
     q["sim_ivf_kmeans"] = _sim_ivf_kmeans
+    # round-4 count routing: single-keyword count answered from block
+    # metadata only (Σ per-block n, doc_ids bytes never scanned —
+    # blocks.py _count_batch_exec); the oracle recounts from raw text
+    q["ft_block_count1"] = _ft_block_count1
 
     # Curate the driver's first-50 gate window (VERDICT r3 item #2):
     # GATE_WINDOW entries first, overflow in registration order after.
@@ -707,6 +711,15 @@ def _ft_block_reverse_order(spark, sf) -> DataFrame:
 def _ft_block_count_only(spark, sf) -> DataFrame:
     return _block_engine(spark, sf).search(
         SearchRequest(text="data query", count_docs_only=True)
+    )
+
+
+def _ft_block_count1(spark, sf) -> DataFrame:
+    """Single-keyword CountDocsOnly on the block executor — the
+    metadata-only count route (count = Σ of the term's per-block n;
+    the packed doc_ids column is never scanned)."""
+    return _block_engine(spark, sf).search(
+        SearchRequest(text="data", count_docs_only=True)
     )
 
 
@@ -1455,6 +1468,11 @@ GROUP BY pa.doc_id ORDER BY doc_id
     ) + " LIMIT 10"
     o["ft_block_reverse_order"] = o["ft_reverse_order"]
     o["ft_block_count_only"] = o["ft_count_only"]
+    o["ft_block_count1"] = f"""
+WITH {_TOKS_CTE}
+SELECT count(DISTINCT doc_id)::BIGINT AS num_docs
+FROM tf WHERE term = 'data'
+"""
     o["ft_block_orderless"] = o["ft_orderless"]
     # criteria=proximity: same match set as ft_proximity2, score
     # becomes 1/(proximity+1)
