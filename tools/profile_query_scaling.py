@@ -94,45 +94,44 @@ def parse_eventlog(evdir: str) -> dict:
                 with open(fp) as fh:
                     yield from fh
 
-    if True:
-        for line in lines_iter():
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                props = ev.get("Properties") or {}
-                jid = ev["Job ID"]
-                job_stages[jid] = [
-                    s["Stage ID"] for s in ev.get("Stage Infos", [])
-                ]
-                if props.get("spark.jobGroup.id") == "measured":
-                    measured_jobs.add(jid)
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                stages.setdefault(si["Stage ID"], {}).update({
-                    "name": si["Stage Name"].split("\n")[0][:70],
-                    "tasks": si["Number of Tasks"],
-                    "wall_ms": (si.get("Completion Time", 0)
-                                - si.get("Submission Time", 0)),
-                })
-            elif e == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                m = ev.get("Task Metrics") or {}
-                st = stages.setdefault(sid, {})
-                st["task_ms"] = st.get("task_ms", 0) + m.get(
-                    "Executor Run Time", 0)
-                st["max_task_ms"] = max(
-                    st.get("max_task_ms", 0), m.get("Executor Run Time", 0))
-                st["gc_ms"] = st.get("gc_ms", 0) + m.get("JVM GC Time", 0)
-                sw = m.get("Shuffle Write Metrics") or {}
-                sr = m.get("Shuffle Read Metrics") or {}
-                st["sw_mb"] = st.get("sw_mb", 0) + sw.get(
-                    "Shuffle Bytes Written", 0) / 1e6
-                st["sr_mb"] = st.get("sr_mb", 0) + (
-                    sr.get("Local Bytes Read", 0)
-                    + sr.get("Remote Bytes Read", 0)) / 1e6
+    for line in lines_iter():
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            props = ev.get("Properties") or {}
+            jid = ev["Job ID"]
+            job_stages[jid] = [
+                s["Stage ID"] for s in ev.get("Stage Infos", [])
+            ]
+            if props.get("spark.jobGroup.id") == "measured":
+                measured_jobs.add(jid)
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            stages.setdefault(si["Stage ID"], {}).update({
+                "name": si["Stage Name"].split("\n")[0][:70],
+                "tasks": si["Number of Tasks"],
+                "wall_ms": (si.get("Completion Time", 0)
+                            - si.get("Submission Time", 0)),
+            })
+        elif e == "SparkListenerTaskEnd":
+            sid = ev["Stage ID"]
+            m = ev.get("Task Metrics") or {}
+            st = stages.setdefault(sid, {})
+            st["task_ms"] = st.get("task_ms", 0) + m.get(
+                "Executor Run Time", 0)
+            st["max_task_ms"] = max(
+                st.get("max_task_ms", 0), m.get("Executor Run Time", 0))
+            st["gc_ms"] = st.get("gc_ms", 0) + m.get("JVM GC Time", 0)
+            sw = m.get("Shuffle Write Metrics") or {}
+            sr = m.get("Shuffle Read Metrics") or {}
+            st["sw_mb"] = st.get("sw_mb", 0) + sw.get(
+                "Shuffle Bytes Written", 0) / 1e6
+            st["sr_mb"] = st.get("sr_mb", 0) + (
+                sr.get("Local Bytes Read", 0)
+                + sr.get("Remote Bytes Read", 0)) / 1e6
     wanted = sorted(
         {s for j in measured_jobs for s in job_stages.get(j, [])}
     )
