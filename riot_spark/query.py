@@ -602,18 +602,48 @@ class SearchEngine:
 
     # ---------------------------------------------------------- hydration
 
+    #: hydrate() collects the ranked side when it is at most this many
+    #: rows; top-k searches are always far below it.
+    HYDRATE_COLLECT_CAP = 65536
+
     @staticmethod
-    def hydrate(results: DataFrame, documents: DataFrame, *doc_cols: str) -> DataFrame:
+    def hydrate(
+        results: DataFrame,
+        documents: DataFrame,
+        *doc_cols: str,
+        collect_cap: int | None = None,
+    ) -> DataFrame:
         """Join ranked results back to the documents table — riot's
         ranker side-store fills SearchResp.Docs with content/attri
         (core/ranker.go:28-41, types/search_response.go:42); here the
-        documents DataFrame IS the store, and the join runs after
-        top-k so only ~k rows hydrate.  `doc_cols` picks the payload
-        columns (default: all)."""
+        documents DataFrame IS the store.  `doc_cols` picks the
+        payload columns (default: all).
+
+        Scale: the ranked side is ~k rows but `documents` is the
+        full corpus, so a plain join would shuffle the entire table to
+        hydrate k rows.  Instead the ranked rows are collected (≤k —
+        the same O(small) driver hop the block engine's
+        rank-then-hydrate makes for proximity winners), `doc_id IN
+        (...)` is pushed into the documents scan for row-group /
+        partition pruning, and the collected rows broadcast-join back.
+        Every indexed doc exists in `documents` by construction (the
+        side-store is populated at index time, core/ranker.go:28-41),
+        so the inner join is exact.  An unbounded ranked side (more
+        than `collect_cap` rows) falls back to a plain inner join and
+        lets AQE pick the strategy."""
+        if collect_cap is None:
+            collect_cap = SearchEngine.HYDRATE_COLLECT_CAP
         payload = (
             documents.select("doc_id", *doc_cols) if doc_cols else documents
         )
-        return results.join(payload, "doc_id", "left")
+        rows = results.limit(collect_cap + 1).collect()
+        if len(rows) > collect_cap:
+            return results.join(payload, "doc_id", "inner")
+        spark = documents.sparkSession
+        ranked = spark.createDataFrame(rows, results.schema)
+        ids = [r["doc_id"] for r in rows]
+        payload = payload.where(F.col("doc_id").isin(ids))
+        return F.broadcast(ranked).join(payload, "doc_id", "inner")
 
     # --------------------------------------------------------------- batch
 

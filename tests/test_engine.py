@@ -656,9 +656,37 @@ def test_hydrate_joins_documents(spark):
                                          num_index_partitions=8))
     eng = SearchEngine(idx)
     res = eng.search(SearchRequest(text="data query", max_outputs=5))
-    hyd = SearchEngine.hydrate(res, docs, "text", "source").collect()
-    assert len(hyd) == 5
-    assert all(r["text"] and "data" in r["text"].lower() for r in hyd)
+    hyd = SearchEngine.hydrate(res, docs, "text", "source")
+    plan = hyd._jdf.queryExecution().executedPlan().toString()
+    # scan-pruned hydrate: the documents parquet scan must carry the
+    # collected doc_id filter (PushedFilters: [In(doc_id, ...)]) and
+    # the join must be a broadcast hash join — a SortMergeJoin here
+    # would shuffle the whole documents table to hydrate 5 rows.
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "doc_id" in ln]
+    assert pushed, f"documents scan lost the doc_id pushdown:\n{plan}"
+    rows = hyd.collect()
+    assert len(rows) == 5
+    assert all(r["text"] and "data" in r["text"].lower() for r in rows)
+
+
+def test_hydrate_unbounded_falls_back(spark):
+    """An unbounded ranked side (> collect_cap) must not be collected;
+    the fallback is a plain inner join."""
+    from riot_spark.sources.corpus import load_documents
+    from riot_spark.build import build_index
+    from tests.conftest import SF_SMOKE
+
+    docs = load_documents(spark, SF_SMOKE)
+    idx = build_index(docs, EngineConfig(index_type=FREQUENCIES_INDEX,
+                                         num_index_partitions=8))
+    eng = SearchEngine(idx)
+    res = eng.search(SearchRequest(text="data"))  # no max_outputs
+    n = res.count()
+    hyd = SearchEngine.hydrate(res, docs, "source", collect_cap=1)
+    assert hyd.count() == n
 
 
 def test_doc_ids_index_mode(spark):
