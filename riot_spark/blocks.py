@@ -760,6 +760,29 @@ def merge_blocked_many(
     )
 
 
+def block_batchable(req, has_positions: bool) -> bool:
+    """Single source of truth for which request shapes the packed
+    block executor can batch.  Both :meth:`BlockSearchEngine.
+    search_batch`'s loud gate and ``SearchEngine``'s dispatcher
+    (which routes non-batchable requests to the flat executor)
+    derive from this predicate, so the two can never drift."""
+    is_logic = bool(req.must or req.should or req.not_in)
+    if not is_logic:
+        if req.count_docs_only or req.orderless:
+            return True
+        if req.criteria == "bm25":
+            return True
+        if req.criteria == "proximity":
+            return has_positions
+        return False  # callable ScoringCriteria
+    return (
+        not req.count_docs_only
+        and not req.orderless
+        and not req.reverse_order
+        and req.criteria == "bm25"
+    )
+
+
 class BlockSearchEngine:
     """Full query surface over packed blocks.
 
@@ -2087,6 +2110,14 @@ class BlockSearchEngine:
         logic_q: dict[str, SearchRequest] = {}
         count_q: dict[str, SearchRequest] = {}
         for qid, req in requests.items():
+            if not block_batchable(req, bi.has_positions):
+                raise ValueError(
+                    f"{qid!r}: request shape not batchable on the block "
+                    "path (callable ScoringCriteria, proximity without "
+                    "packed positions, or an unsupported logic combo) — "
+                    "dispatch via SearchEngine.search_batch for the "
+                    "automatic flat fallback"
+                )
             is_logic = bool(req.must or req.should or req.not_in)
             if not is_logic:
                 if req.count_docs_only:
@@ -2098,30 +2129,10 @@ class BlockSearchEngine:
                     )
                 elif req.criteria == "bm25":
                     and_q[qid] = req
-                elif req.criteria == "proximity":
-                    if not bi.has_positions:
-                        raise ValueError(
-                            f"{qid!r}: criteria='proximity' needs a "
-                            "LocsIndex block store (no packed positions)"
-                        )
+                else:  # proximity — positions guaranteed by the gate
                     prox_q[qid] = req
-                else:
-                    raise ValueError(
-                        f"{qid!r}: a callable ScoringCriteria is not "
-                        "batchable on the block path"
-                    )
-            elif (
-                not req.count_docs_only
-                and not req.orderless
-                and not req.reverse_order
-                and req.criteria == "bm25"
-            ):
-                logic_q[qid] = req
             else:
-                raise ValueError(
-                    f"{qid!r}: unsupported logic-request combination "
-                    "on the block path"
-                )
+                logic_q[qid] = req
 
         parts: list[DataFrame] = []
 

@@ -191,8 +191,11 @@ GATE_WINDOW: list[str] = [
     "ft_block_and2", "ft_block_proximity2", "ft_block_logic",
     "ft_block_labels", "ft_block_merged", "ft_block_store_appended",
     "ft_block_delete_requery",
-    # batch executors
-    "ft_batch_topk", "ft_block_batch_topk", "ft_block_batch_wand",
+    # batch executors + the r4 metadata-only count route (gated per
+    # r4 advice: new-route queries stay inside the driver window;
+    # ft_block_batch_topk overflowed — it is the shape twin of
+    # ft_batch_topk and the WAND row keeps the block batch gated)
+    "ft_batch_topk", "ft_block_count1", "ft_block_batch_wand",
     "ft_block_batch_logic",
     # streaming
     "stream_compact_df", "stream_lsm_bm25", "stream_first_seen",

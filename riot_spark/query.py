@@ -211,24 +211,13 @@ class SearchEngine:
 
     @staticmethod
     def _block_batchable(req, has_positions: bool) -> bool:
-        """Mirror of BlockSearchEngine.search_batch's shape gate: True
-        iff the request batches on the packed layout (so dispatch
-        never trips the block path's loud ValueError)."""
-        is_logic = bool(req.must or req.should or req.not_in)
-        if not is_logic:
-            if req.count_docs_only or req.orderless:
-                return True
-            if req.criteria == "bm25":
-                return True
-            if req.criteria == "proximity":
-                return has_positions
-            return False  # callable ScoringCriteria
-        return (
-            not req.count_docs_only
-            and not req.orderless
-            and not req.reverse_order
-            and req.criteria == "bm25"
-        )
+        """True iff the request batches on the packed layout —
+        delegates to the single shared predicate exported by
+        blocks.py so dispatch and the block path's loud gate can
+        never drift."""
+        from riot_spark.blocks import block_batchable
+
+        return block_batchable(req, has_positions)
 
     # ---------------------------------------------------------- internals
 
@@ -675,27 +664,43 @@ class SearchEngine:
         groups: dict[tuple, list[str]] = {}
         for qid, req in requests.items():
             groups.setdefault(key(req), []).append(qid)
+
         # default executor: the packed block path when a blocked twin
-        # is attached and every request batches there (flat is the
-        # fallback, not the default — attach_blocks)
-        exec_fn = self._search_batch_exec
-        if self._blocks is not None and all(
-            self._block_batchable(r, self._blocks.has_positions)
-            for r in requests.values()
-        ):
+        # is attached (flat is the fallback, not the default —
+        # attach_blocks).  A mixed batch splits: block-batchable
+        # shapes ride the packed kernel, the rest (callable criteria,
+        # rare logic combos) run through the flat executor in the
+        # same call, and the two result sets union — nothing raises.
+        def run(reps: dict[str, SearchRequest]) -> DataFrame:
+            if self._blocks is None:
+                return self._search_batch_exec(reps, double_scores)
+            blk = {
+                qid: r
+                for qid, r in reps.items()
+                if self._block_batchable(r, self._blocks.has_positions)
+            }
+            if not blk:
+                return self._search_batch_exec(reps, double_scores)
             if self._block_engine_inst is None:
                 from riot_spark.blocks import BlockSearchEngine
 
                 self._block_engine_inst = BlockSearchEngine(self._blocks)
-            exec_fn = (
-                lambda reqs, dbl: self._block_engine_inst.search_batch(
-                    reqs, double_scores=dbl
-                )
+            bres = self._block_engine_inst.search_batch(
+                blk, double_scores=double_scores
             )
+            flat = {qid: r for qid, r in reps.items() if qid not in blk}
+            if not flat:
+                return bres
+            score_t = "double" if double_scores else "float"
+            fres = self._search_batch_exec(flat, double_scores).withColumn(
+                "score", F.col("score").cast(score_t)
+            )
+            return bres.unionByName(fres)
+
         if all(len(v) == 1 for v in groups.values()):
-            return exec_fn(requests, double_scores)
+            return run(requests)
         reps = {v[0]: requests[v[0]] for v in groups.values()}
-        res = exec_fn(reps, double_scores)
+        res = run(reps)
         mapping = [(v[0], qid) for v in groups.values() for qid in v]
         mdf = self._spark().createDataFrame(
             mapping, "rep_id STRING, query_id STRING"

@@ -554,6 +554,41 @@ def test_persisted_postings_pushdown(spark, sf_index, tmp_path):
     assert "positions" not in rs and "token_len" not in rs
 
 
+def test_mixed_batch_callable_criteria_routes_to_flat(sf_index, bindex):
+    """A mixed batch containing a callable-criteria request must pass
+    through SearchEngine.search_batch with blocks attached: the
+    batchable shapes ride the block kernel, the callable-criteria
+    request routes to the flat executor, and the union matches a pure
+    flat run (blocks became the default dispatch in r4 — this shape
+    raised then)."""
+    def crit(pdf):
+        return pdf["score"] * 2.0
+
+    reqs = {
+        "and1": SearchRequest(text="data query", max_outputs=10),
+        "logic": SearchRequest(must=["data"], not_in=["dup"], max_outputs=8),
+        "count": SearchRequest(text="data query", count_docs_only=True),
+        "call": SearchRequest(text="data query", scorer="float32",
+                              criteria=crit, max_outputs=5),
+    }
+    attached = SearchEngine(sf_index).attach_blocks(bindex)
+    got = attached.search_batch(reqs).collect()
+    want = SearchEngine(sf_index).search_batch(reqs).collect()
+
+    def by_qid(rows):
+        out: dict[str, list] = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(float(r["score"]), 4))
+            )
+        return {k: sorted(v) for k, v in out.items()}
+
+    g, e = by_qid(got), by_qid(want)
+    assert set(g) == set(e) == set(reqs)
+    for qid in reqs:
+        assert g[qid] == e[qid], qid
+
+
 def test_block_search_batch_matches_flat(sf_index, bindex):
     """Block-path search_batch must agree with the flat engine's
     search_batch on every shape it serves: AND top-k (offset,
