@@ -3268,20 +3268,32 @@ def compact_segments(spark: SparkSession, path: str) -> dict:
     return {"skipped": False, "segments": len(segs), **m}
 
 
+#: A reader that finds the store path absent with a live swap sentinel
+#: waits this long for the writer's second rename before treating the
+#: sentinel as a crash leftover.
+SWAP_INFLIGHT_TIMEOUT_S = 30.0
+
+
 def _swap_store(path: str, stage: str, old_suffix: str) -> None:
     """Swap a fully-written staged store into place.  The two renames
-    are individually atomic but NOT as a pair: a crash between them
-    leaves `path` absent with the untouched original at
-    ``<path><old_suffix>`` — :func:`recover_store` (run by every
-    :func:`read_blocked_index`) rolls that back.  Contract:
-    single writer per store path; a concurrent reader that opens
-    during the (two-syscall) swap window must retry."""
+    are individually atomic but NOT as a pair; a writer-owned
+    sentinel file (``<path>.swap_inflight``, written before the first
+    rename, removed after the second) marks the window so concurrent
+    readers in :func:`recover_store` WAIT instead of rolling back an
+    in-flight swap — a crash mid-swap leaves `path` absent, the
+    untouched original at ``<path><old_suffix>``, and a stale
+    sentinel, which recovery rolls back.  Contract: single writer per
+    store path."""
     import shutil
 
     old = path + old_suffix
     shutil.rmtree(old, ignore_errors=True)
+    sentinel = path + ".swap_inflight"
+    with open(sentinel, "w") as f:
+        f.write(f"{os.getpid()} {stage}\n")
     os.rename(path, old)
     os.rename(stage, path)
+    os.remove(sentinel)
     shutil.rmtree(old)
 
 
@@ -3290,11 +3302,34 @@ def recover_store(path: str) -> bool:
     but a ``.predelete``/``.precompact`` twin exists, the crash hit
     between the swap's two renames — the twin IS the untouched
     original, so roll it back (the half-finished mutation re-runs from
-    scratch).  If `path` exists, any leftover ``.pre*`` twin is a
-    stale post-swap copy and is removed.  Returns True on rollback.
-    Idempotent; called by every store open."""
+    scratch) and remove the orphaned stage directory the sentinel
+    names.  A FRESH sentinel means another process's swap is in
+    flight right now: wait for its second rename rather than rolling
+    back under the writer (which would make its rename fail with the
+    target restored).  If `path` exists, any leftover ``.pre*`` twin
+    is a stale post-swap copy and is removed.  Returns True on
+    rollback.  Idempotent; called by every store open."""
     import shutil
+    import time
 
+    def _writer_alive() -> bool:
+        try:
+            with open(sentinel) as f:
+                pid = int(f.read().split(None, 1)[0])
+            os.kill(pid, 0)  # signal 0: existence probe only
+            return True
+        except (OSError, ValueError, ProcessLookupError):
+            return False
+
+    sentinel = path + ".swap_inflight"
+    if not os.path.exists(path) and os.path.exists(sentinel):
+        # a live writer is between its two renames — give it time;
+        # a dead writer's sentinel is a crash leftover, don't wait
+        deadline = time.monotonic() + SWAP_INFLIGHT_TIMEOUT_S
+        while time.monotonic() < deadline and _writer_alive():
+            if os.path.exists(path) or not os.path.exists(sentinel):
+                break
+            time.sleep(0.05)
     rolled = False
     for suf in (".predelete", ".precompact", ".prerebuild"):
         old = path + suf
@@ -3305,6 +3340,22 @@ def recover_store(path: str) -> bool:
         else:
             os.rename(old, path)
             rolled = True
+    if os.path.exists(sentinel) and os.path.exists(path):
+        # crash leftover (rolled back, or the writer died post-swap
+        # pre-cleanup): drop the sentinel and its orphaned stage dir
+        try:
+            with open(sentinel) as f:
+                stage = f.read().split(None, 1)[1].strip()
+            if os.path.abspath(os.path.dirname(stage)) == os.path.abspath(
+                os.path.dirname(path)
+            ):
+                shutil.rmtree(stage, ignore_errors=True)
+        except (OSError, IndexError):
+            pass
+        try:
+            os.remove(sentinel)
+        except OSError:
+            pass
     return rolled
 
 

@@ -207,6 +207,16 @@ def pages_to_documents(pages: DataFrame, n_parts: int | None = None) -> DataFram
         r["pid"]: r["cnt"]
         for r in part.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
     }
+    # monotonically_increasing_id gives 33 bits of per-partition row
+    # counter; a range partition at/above 2^33 rows would bleed into
+    # the partition-id bits and silently collide doc_ids (reachable at
+    # 10^12 docs with a small n_parts) — fail loudly instead
+    over = {p: c for p, c in counts.items() if c >= 1 << 33}
+    if over:
+        raise ValueError(
+            f"range partitions exceed 2^33 rows ({over}); raise n_parts "
+            f"(currently {n_parts}) so doc_id assignment stays collision-free"
+        )
     offsets: list[tuple[int, int]] = []
     acc = 0
     for pid in sorted(counts):

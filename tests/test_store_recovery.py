@@ -81,6 +81,60 @@ def test_recover_store_removes_stale_post_swap_dir(tmp_path, spark):
     assert not os.path.exists(path + ".precompact")
 
 
+def test_recover_store_waits_for_inflight_swap(tmp_path):
+    """A reader that opens during another process's swap window (path
+    absent, live sentinel) must WAIT for the writer's second rename,
+    not roll the in-flight swap back under it (r4 advice: the
+    rollback made the writer's os.rename fail with the target
+    restored)."""
+    import threading
+
+    path = str(tmp_path / "store")
+    old, stage = path + ".precompact", path + ".compacting"
+    os.makedirs(old)
+    os.makedirs(stage)
+    open(os.path.join(stage, "NEW"), "w").close()
+    with open(path + ".swap_inflight", "w") as f:
+        f.write(f"{os.getpid()} {stage}\n")  # live writer: this pid
+
+    def finish_swap():
+        # the writer's second rename + cleanup, mid-reader-wait
+        os.rename(stage, path)
+        os.remove(path + ".swap_inflight")
+        shutil.rmtree(old)
+
+    t = threading.Timer(0.4, finish_swap)
+    t.start()
+    try:
+        assert not recover_store(path)  # waited; nothing rolled back
+    finally:
+        t.join()
+    assert os.path.exists(os.path.join(path, "NEW"))  # new store won
+    assert not os.path.exists(stage)
+    assert not os.path.exists(path + ".swap_inflight")
+
+
+def test_recover_store_cleans_crashed_swap_leftovers(tmp_path):
+    """A DEAD writer's sentinel is a crash marker, not a wait signal:
+    recovery rolls the original back immediately and removes both the
+    orphaned stage dir and the sentinel."""
+    path = str(tmp_path / "store")
+    old, stage = path + ".precompact", path + ".compacting"
+    os.makedirs(old)
+    open(os.path.join(old, "ORIG"), "w").close()
+    os.makedirs(stage)
+    with open(path + ".swap_inflight", "w") as f:
+        f.write(f"999999999 {stage}\n")  # no such pid
+    import time
+
+    t0 = time.monotonic()
+    assert recover_store(path)
+    assert time.monotonic() - t0 < 5  # no 30 s wait on a dead writer
+    assert os.path.exists(os.path.join(path, "ORIG"))  # rolled back
+    assert not os.path.exists(stage)  # orphan cleaned
+    assert not os.path.exists(path + ".swap_inflight")
+
+
 def test_compaction_swap_is_recoverable_end_to_end(tmp_path, spark):
     """compact_segments on a segmented store leaves no .pre*/.stage
     residue, and a fresh open of the compacted store still passes
