@@ -988,6 +988,7 @@ class BlockSearchEngine:
         matched: DataFrame,
         lmeta: list[tuple],
         ms: dict[str, int] | None = None,
+        dfs: dict[str, int] | None = None,
     ) -> DataFrame | None:
         """JVM twin of the batch logic dispatcher
         (BlockQuery.scala::searchLogicBatch): must/should/notIn set
@@ -1020,15 +1021,35 @@ class BlockSearchEngine:
             wl_b.append(None if wl is None else [int(x) for x in wl])
             ms_b.append(int(ms.get(qid, 0)) if ms else 0)
         cols = ["term", "block_id", "is_label", "doc_ids"]
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_parts = self._onepass_parts(
+            self._lmeta_postings(lmeta, dfs), self.BYTES_PER_POSTING_IDS
+        )
+        if n_parts is None:
+            return None  # spill guard: per-group pandas kernel instead
         arranged = matched.select(cols).repartition(n_parts, "block_id")
         jdf = spark._jvm.riotspark.BlockQuery.searchLogicBatch(
             arranged._jdf, qids, must_b, should_b, notin_b, wl_b, ms_b
         )
         return DataFrame(jdf, spark)
 
+    def _lmeta_postings(
+        self, lmeta: list[tuple], dfs: dict[str, int] | None
+    ) -> int:
+        """Estimated matched postings for a logic/count dispatch: the
+        sum of dfs over the batch's distinct terms (each term's block
+        rows ship once regardless of how many queries reference it)."""
+        terms = set()
+        for _qid, must, should, not_in, _wl in lmeta:
+            terms |= set(must) | set(should) | set(not_in)
+        if dfs is None:
+            dfs = self.bi.lookup_terms(sorted(terms))
+        return sum(int(dfs.get(t, 0)) for t in terms)
+
     def _jvm_count_batch(
-        self, matched: DataFrame, lmeta: list[tuple]
+        self,
+        matched: DataFrame,
+        lmeta: list[tuple],
+        dfs: dict[str, int] | None = None,
     ) -> DataFrame | None:
         """JVM per-task count kernel (BlockQuery.countLogicBatch):
         must-intersection sizes summed per block inside each task —
@@ -1045,7 +1066,11 @@ class BlockSearchEngine:
             must_b.append(list(must))
             wl_b.append(None if wl is None else [int(x) for x in wl])
         cols = ["term", "block_id", "is_label", "doc_ids"]
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_parts = self._onepass_parts(
+            self._lmeta_postings(lmeta, dfs), self.BYTES_PER_POSTING_IDS
+        )
+        if n_parts is None:
+            return None  # spill guard: per-group pandas kernel instead
         arranged = matched.select(cols).repartition(n_parts, "block_id")
         jdf = spark._jvm.riotspark.BlockQuery.countLogicBatch(
             arranged._jdf, qids, must_b, wl_b
@@ -1271,12 +1296,16 @@ class BlockSearchEngine:
                 dfs,
                 double_scores,
             )
-            qmeta = [qm for qm in qmeta if qm[0] not in op_qids]
-            m_by_qid = {
-                q: m for q, m in m_by_qid.items() if q not in op_qids
-            }
-            if not qmeta:
-                return scored_op, set()
+            if scored_op is not None:
+                qmeta = [qm for qm in qmeta if qm[0] not in op_qids]
+                m_by_qid = {
+                    q: m for q, m in m_by_qid.items() if q not in op_qids
+                }
+                if not qmeta:
+                    return scored_op, set()
+            # scored_op None: the spill guard refused the one-pass
+            # dispatch — the op queries stay in qmeta and ride the
+            # (spillable) two-phase walk below
 
         # --- two-phase walk behind the skew probe ------------------
         # the bounds table ((query_id, block_id) rows from block
@@ -1438,6 +1467,58 @@ class BlockSearchEngine:
     # gate sits at 500k; below it the walk/plain pass is never worse.
     WAND_SINGLE_ONEPASS_MIN_POSTINGS: int | None = 500_000
 
+    # --- spill-safety auto-guard (SCALING.md limit 5) --------------
+    # The one-pass kernels (searchAndBatchPruned / searchLogicBatch /
+    # countLogicBatch) buffer each task's shuffled rows on the JVM
+    # heap to group and order its doc ranges — unlike the pre-shuffle
+    # sort they replaced, that buffer cannot spill.  Before dispatch
+    # the matched packed bytes are estimated driver-side from term
+    # dfs (metadata already in hand — no job) with a conservative
+    # per-posting envelope; the block_id exchange's partition count
+    # is raised until the per-task estimate fits the heap budget, and
+    # when raising cannot help (needed partitions exceed the distinct
+    # doc-range count, i.e. a single range group could blow the
+    # budget) the dispatch returns None and the caller takes the
+    # spillable plan instead (the two-phase walk / per-group
+    # applyInPandas, whose shuffle sort spills and whose groups are
+    # single bounded doc ranges).
+    ONEPASS_TASK_BUDGET_BYTES = 256 << 20
+    ONEPASS_BUDGET_CONF = "spark.riot.onepass.taskBudgetBytes"
+    # varint envelopes per posting, deliberately high — over-
+    # estimating only raises the partition count early, which is
+    # cheap (real packed postings run ~1.5-4 B)
+    BYTES_PER_POSTING_FULL = 12  # doc_ids + tfs + token_lens (WAND cols)
+    BYTES_PER_POSTING_IDS = 6  # doc_ids only (logic/count cols)
+
+    def _onepass_parts(
+        self, est_postings: int, bytes_per_posting: int
+    ) -> int | None:
+        """Partition count for a one-pass kernel exchange such that
+        the per-task heap buffer stays under budget, or None when no
+        partitioning can guarantee it (caller must fall back to a
+        spillable plan)."""
+        bi = self.bi
+        spark = bi.blocks.sparkSession
+        budget = int(
+            spark.conf.get(
+                self.ONEPASS_BUDGET_CONF,
+                str(self.ONEPASS_TASK_BUDGET_BYTES),
+            )
+        )
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        est = int(est_postings) * int(bytes_per_posting)
+        needed = -(-est // max(budget, 1))
+        if needed <= n_parts:
+            return n_parts
+        bits = bi.block_bits()
+        if bits is None:
+            return None  # single-block corpus: cannot subdivide
+        max_parts = max(1, -(-int(bi.n_docs) // (1 << bits)))
+        if needed > max_parts:
+            return None
+        # 2x headroom absorbs hash imbalance across block ids
+        return int(min(2 * needed, max_parts))
+
     def _wand_onepass_jvm(
         self,
         matched: DataFrame,
@@ -1481,7 +1562,13 @@ class BlockSearchEngine:
             "term", "block_id", "is_label", "doc_ids", "tfs",
             "token_lens", "norm_max",
         ]
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        est = sum(
+            int(dfs.get(t, 0))
+            for t in {t for _q, _tk, kws, _w in qmeta for t in kws}
+        )
+        n_parts = self._onepass_parts(est, self.BYTES_PER_POSTING_FULL)
+        if n_parts is None:
+            return None  # spill-unsafe: caller takes the two-phase walk
         # positional contract for the kernel; block-colocated, order
         # within the partition irrelevant (the kernel orders groups)
         arranged = matched.select(cols).repartition(n_parts, "block_id")
@@ -1970,7 +2057,8 @@ class BlockSearchEngine:
         all_terms = sorted(set(must_set) | set(should_set) | set(notin_set))
         matched = bi.blocks.where(F.col("term").isin(all_terms))
         jvm = self._jvm_logic_batch(
-            matched, [("q", must_set, should_set, notin_set, None)]
+            matched, [("q", must_set, should_set, notin_set, None)],
+            dfs=present,
         )
         if jvm is not None:
             return jvm.select("doc_id")
@@ -2397,7 +2485,7 @@ class BlockSearchEngine:
         # offset+k so hot-term logic queries stop decoding early
         # (k == 0 stays unlimited)
         ms = {q: (k + off if k > 0 else 0) for q, k, off in meta_rows}
-        cand = self._jvm_logic_batch(matched, lmeta, ms=ms)
+        cand = self._jvm_logic_batch(matched, lmeta, ms=ms, dfs=present)
         if cand is None:
             # one group per block; all queries share the per-block
             # decode cache (see the AND dispatch for the rationale)
@@ -2537,7 +2625,7 @@ class BlockSearchEngine:
             # count = must-only candidates: the JVM count kernel sums
             # intersection sizes in-task (no tf decode on either path)
             cand = None
-            counts = self._jvm_count_batch(matched, lmeta)
+            counts = self._jvm_count_batch(matched, lmeta, dfs=present)
             if counts is None:
                 kernels = {
                     qid: self._make_logic_kernel(kw, [], [], whitelist=wl)

@@ -554,6 +554,72 @@ def test_persisted_postings_pushdown(spark, sf_index, tmp_path):
     assert "positions" not in rs and "token_len" not in rs
 
 
+def test_onepass_spill_guard(sf_index, bindex):
+    """SCALING.md limit 5 auto-guard: the one-pass kernels size their
+    block_id exchange from a driver-side metadata estimate so the
+    per-task heap buffer fits the budget, and REFUSE the dispatch
+    (returning None -> the spillable fallback plan) when no partition
+    count can bound it — with results identical either way."""
+    import dataclasses
+
+    from riot_spark.blocks import jvm_pack_available
+
+    spark = bindex.blocks.sparkSession
+    conf_key = BlockSearchEngine.ONEPASS_BUDGET_CONF
+    n_def = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # unit: partition sizing from metadata only (no jobs)
+    big = dataclasses.replace(bindex, n_docs=10_000_000, doc_block_bits=13)
+    beng = BlockSearchEngine(big)
+    spark.conf.set(conf_key, str(1 << 20))  # 1 MiB per task
+    try:
+        # 10M postings x 12 B = 120e6 B -> ceil(120e6 / 2^20) = 115
+        # tasks needed; raised with 2x hash-imbalance headroom
+        # (10M docs >> 13 = 1221 ranges, so raising is possible)
+        assert beng._onepass_parts(10_000_000, 12) == 230
+        # even one doc-range group can exceed the budget: refuse
+        assert beng._onepass_parts(10_000_000_000, 12) is None
+    finally:
+        spark.conf.unset(conf_key)
+    # default budget: the common case passes shuffle partitions through
+    assert beng._onepass_parts(10_000_000, 12) == n_def
+
+    # e2e: a 1-byte budget makes every one-pass dispatch refuse; the
+    # fallback plans must produce identical answers
+    if not jvm_pack_available(spark):
+        pytest.skip("riotspark.jar not on the session classpath")
+    want = (
+        BlockSearchEngine(bindex).search_and(["data", "query"], k=10).collect()
+    )
+    lw = (
+        BlockSearchEngine(bindex)
+        .search_logic(must=["data"], not_in=["dup"])
+        .collect()
+    )
+    guarded = BlockSearchEngine(bindex)
+    guarded.WAND_SINGLE_ONEPASS_MIN_POSTINGS = 0  # force the route
+    refusals = []
+    orig = guarded._wand_onepass_jvm
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        refusals.append(out is None)
+        return out
+
+    guarded._wand_onepass_jvm = spy
+    spark.conf.set(conf_key, "1")
+    try:
+        got = guarded.search_and(["data", "query"], k=10).collect()
+        lg = guarded.search_logic(must=["data"], not_in=["dup"]).collect()
+    finally:
+        spark.conf.unset(conf_key)
+    assert refusals and all(refusals), "guard never engaged"
+    assert [(r["doc_id"], np.float32(r["score"])) for r in got] == [
+        (r["doc_id"], np.float32(r["score"])) for r in want
+    ]
+    assert sorted(r["doc_id"] for r in lg) == sorted(r["doc_id"] for r in lw)
+
+
 def test_mixed_batch_callable_criteria_routes_to_flat(sf_index, bindex):
     """A mixed batch containing a callable-criteria request must pass
     through SearchEngine.search_batch with blocks attached: the
