@@ -389,7 +389,9 @@ class IndexBuilder:
         idx = build_index(documents, self.config, cache=False)
         idx.postings.write.mode("overwrite").parquet(f"{path}/postings")
         idx.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
-        idx.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+        from riot_spark.blocks import _write_term_stats
+
+        _write_term_stats(idx.term_stats, f"{path}/term_stats")
         stats = {
             "n_docs": idx.n_docs,
             "avgdl": idx.avgdl,

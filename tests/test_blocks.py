@@ -554,6 +554,50 @@ def test_persisted_postings_pushdown(spark, sf_index, tmp_path):
     assert "positions" not in rs and "token_len" not in rs
 
 
+def test_term_stats_sorted_layout_and_pushdown(tmp_path, spark, bindex):
+    """Persisted term_stats must be term-sorted with non-overlapping
+    row groups (so a query's In(term) probe prunes to O(probe) row
+    groups on a huge vocabulary) and the lookup filter must reach the
+    parquet scan."""
+    import glob
+
+    import pyarrow.parquet as papq
+
+    from riot_spark.blocks import read_blocked_index, write_blocked_index
+
+    path = str(tmp_path / "store")
+    write_blocked_index(bindex, path, input_paths=[], config_repr="ts")
+    files = sorted(glob.glob(f"{path}/term_stats/*.parquet"))
+    assert files
+    seen_groups = 0
+    for fp in files:
+        md = papq.ParquetFile(fp).metadata
+        ti = md.schema.names.index("term")
+        prev_max = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ti).statistics
+            assert st is not None and st.has_min_max
+            if prev_max is not None:
+                assert st.min >= prev_max, "row groups overlap"
+            prev_max = st.max
+            seen_groups += 1
+    assert seen_groups >= 1
+
+    bi2 = read_blocked_index(spark, path)
+    bi2._term_df_cache = None  # force the distributed lookup path
+    plan = (
+        bi2.term_stats.where(F.col("term").isin(["data", "query"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "term" in ln]
+    assert pushed, f"term lookup lost the scan pushdown:\n{plan}"
+    want = BlockSearchEngine(bindex).bi.lookup_terms(["data", "query"])
+    assert bi2.lookup_terms(["data", "query"]) == want
+
+
 def test_onepass_spill_guard(sf_index, bindex):
     """SCALING.md limit 5 auto-guard: the one-pass kernels size their
     block_id exchange from a driver-side metadata estimate so the
