@@ -246,14 +246,17 @@ def kmeans_train(
         qdf.unpersist()
 
 
-def _kmeans_cid(cents: dict[int, list[float]]):
+def _kmeans_cid(cents: dict[int, list[float]], col=None):
     """argmin_c sum_j (q_j - c_j)^2 as one literal-centroid expression;
-    tie -> smaller cid (struct least is lexicographic)."""
+    tie -> smaller cid (struct least is lexicographic).  `col` is the
+    quantized-vector column (default the `q` column)."""
+    if col is None:
+        col = F.col("q")
     structs = []
     for cid, cvec in sorted(cents.items()):
         carr = F.array(*[F.lit(float(v)) for v in cvec])
         d = F.aggregate(
-            F.zip_with(F.col("q"), carr, lambda a, b: (a - b) * (a - b)),
+            F.zip_with(col, carr, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -452,4 +455,182 @@ def ivf_topk(
     pool = embeddings.join(
         cand, embeddings[id_col] == cand["id"], "left_semi"
     )
+    return cosine_topk(pool, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------- IVF-PQ
+# Product quantization: the compressed-vector tier.  At 100 TB of
+# embeddings the uncompressed cid-partitioned IVF store is IO-bound —
+# every probe reads 4*dim bytes per vector.  PQ stores m one-byte
+# codes per vector instead (dim=64, m=4 -> 256 bytes -> 4 bytes, 64x):
+# the ADC scan phase never touches a raw vector, and only the top-R
+# rerank pool hydrates real embeddings (scan-pruned isin, the same
+# rank-then-hydrate pattern as the text engine).  Everything is
+# deterministic and engine-reproducible: per-subspace codebooks reuse
+# kmeans_train's integer-quantized Lloyd's, so the DuckDB oracle
+# re-trains bit-identical codebooks from the same parquet.
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, dict[int, list[float]]]:
+    """codebooks[sub][cid] = centroid of subspace `sub` in quantized
+    space — kmeans_train run on each of the m contiguous dim/m slices.
+    Seeds are the ksub smallest-md5 vec_ids (identical across
+    subspaces, and identical in the SQL oracle)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    return {
+        s: kmeans_train(
+            embeddings.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), s * sd + 1, sd).alias(vec_col),
+            ),
+            ksub, iters, id_col, vec_col,
+        )
+        for s in range(m)
+    }
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: dict[int, dict[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<long>) — per-subspace argmin code under the
+    trained codebooks; one codegen'd projection, no shuffle."""
+    m = len(books)
+    sd = len(next(iter(books[0].values())))
+    q = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * QUANT + 0.5).cast("double"),
+    )
+    base = embeddings.select(F.col(id_col).alias("id"), q.alias("q"))
+    codes = [
+        _kmeans_cid(books[s], col=F.slice(F.col("q"), s * sd + 1, sd))
+        for s in range(m)
+    ]
+    return base.select("id", F.array(*codes).alias("codes"))
+
+
+def _pq_adc_tables(
+    query_vec: list[float], books: dict[int, dict[int, list[float]]]
+) -> dict[int, list[float]]:
+    """Driver-side asymmetric-distance tables: tables[sub][cid] =
+    squared distance between the query's quantized slice and the
+    codebook centroid (m*ksub floats total)."""
+    m = len(books)
+    sd = len(next(iter(books[0].values())))
+    qq = [float(math.floor(float(v) * QUANT + 0.5)) for v in query_vec]
+    out: dict[int, list[float]] = {}
+    for s in range(m):
+        sq = qq[s * sd : (s + 1) * sd]
+        out[s] = [
+            sum((a - b) * (a - b) for a, b in zip(sq, books[s][cid]))
+            for cid in sorted(books[s])
+        ]
+    return out
+
+
+def _pq_adc_col(tables: dict[int, list[float]]):
+    """round(sum_s tables[s][codes[s]], 4) over a `codes` column —
+    summed in subspace order (the 4-decimal round absorbs engine
+    summation-order ulps, same as the kmeans oracle)."""
+    adc = F.lit(0.0)
+    for s in sorted(tables):
+        tbl = F.array(*[F.lit(float(d)) for d in tables[s]])
+        adc = adc + F.element_at(tbl, F.col("codes")[s].cast("int") + 1)
+    return F.round(adc, 4)
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    books: dict[int, dict[int, list[float]]],
+    k: int = 10,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search: ADC over the codes (top rerank*k candidates by
+    approximate distance), then exact cosine rerank to k.  The ADC
+    phase touches m bytes per vector; only the candidate pool reads
+    raw embeddings."""
+    codes = pq_encode(embeddings, books, id_col, vec_col)
+    tables = _pq_adc_tables(query_vec, books)
+    cand = (
+        codes.select("id", _pq_adc_col(tables).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("id"))
+        .limit(rerank * k)
+    )
+    pool = embeddings.join(
+        cand, embeddings[id_col] == cand["id"], "left_semi"
+    )
+    return cosine_topk(pool, query_vec, k, id_col, vec_col)
+
+
+def ivfpq_write(
+    embeddings: DataFrame,
+    cents: dict[int, list[float]],
+    books: dict[int, dict[int, list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the COMPRESSED store: (vec_id, codes) partitioned by
+    trained coarse cluster.  No raw vectors — the store is m bytes +
+    id per vector; rerank hydrates from the source embeddings table."""
+    assigned = kmeans_assign(embeddings, cents, id_col, vec_col)
+    codes = pq_encode(embeddings, books, id_col, vec_col)
+    (
+        codes.join(assigned, "id")
+        .select(F.col("id").alias(id_col), "codes", "cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
+def ivfpq_read_topk(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    cents: dict[int, list[float]],
+    books: dict[int, dict[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the compressed store: probe the nprobe nearest coarse
+    centroids (file-level partition pruning), ADC over their codes
+    (reads m bytes/vector, never a raw embedding), collect the top
+    rerank*k candidate ids, hydrate only those from the embeddings
+    table (isin scan pushdown) and exact-rerank to k."""
+    qq = [float(math.floor(float(v) * QUANT + 0.5)) for v in query_vec]
+
+    def dist(cvec: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(qq, cvec))
+
+    probe = sorted(cents, key=lambda cid: (dist(cents[cid]), cid))[:nprobe]
+    codes = spark.read.parquet(path).where(F.col("cid").isin(probe))
+    tables = _pq_adc_tables(query_vec, books)
+    cand = (
+        codes.select(F.col(id_col), _pq_adc_col(tables).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(rerank * k)
+        .collect()
+    )
+    ids = [r[id_col] for r in cand]
+    pool = embeddings.where(F.col(id_col).isin(ids))
     return cosine_topk(pool, query_vec, k, id_col, vec_col)
