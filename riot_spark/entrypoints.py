@@ -181,9 +181,9 @@ GATE_WINDOW: list[str] = [
     "ft_postings_flat", "ft_proximity2", "ft_reverse_order",
     "ft_criteria_proximity", "ft_snippet2", "ft_delete_requery",
     "ft_stopworded_df",
-    # text analysis
+    # text analysis (tx_winnow overflowed in r5 — fingerprint-family
+    # variant — to keep the new JPEG decode route driver-gated)
     "tx_token_counts", "tx_quality", "tx_langid", "tx_fingerprint",
-    "tx_winnow",
     # dedup (dd_simhash_neardup overflowed in r5 — shape variant of
     # dd_simhash — to keep the new PQ route driver-gated)
     "dd_exact_prefix", "dd_jaccard_1gram", "dd_minhash_lsh",
@@ -202,8 +202,8 @@ GATE_WINDOW: list[str] = [
     "stream_compact_df", "stream_lsm_bm25", "stream_first_seen",
     # riot-compat tokenizer modes
     "compat_using4_len", "compat_chars_len",
-    # multimodal
-    "mm_image_features", "mm_resize",
+    # multimodal (incl. the r5 real-JPEG decode route)
+    "mm_image_features", "mm_resize", "mm_jpeg_features",
     # embedding similarity (incl. the r5 IVF-PQ compressed tier)
     "sim_cosine_topk", "sim_lsh_neardup", "sim_ivf_kmeans",
     "sim_ivf_pq",
@@ -377,6 +377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_image_features"] = _mm_image_features
     q["mm_frame_plan"] = _mm_frame_plan
     q["mm_resize"] = _mm_resize
+    # round-5 real JPEG decode (riot_spark.jpeg): features/resize over
+    # genuinely Huffman-decoded + IDCT'd pixels, oracle-proved via the
+    # exact-roundtrip fixture subspace
+    q["mm_jpeg_features"] = _mm_jpeg_features
+    q["mm_jpeg_resize"] = _mm_jpeg_resize
 
     # --- embedding similarity ---
     q["sim_cosine_topk"] = _sim_cosine_topk
@@ -1119,6 +1124,35 @@ def _mm_resize(spark, sf) -> DataFrame:
     )
 
 
+def _mm_jpeg_media(spark, sf) -> DataFrame:
+    """Real-JPEG media fixture (riot_spark.jpeg, round-5 #5): 16x16
+    grayscale baseline JPEGs whose constant 8x8 blocks follow the
+    closed form (m*7 + j*13) % 256 — inside the codec's
+    exact-roundtrip subspace, so the SQL oracle proves the Huffman +
+    IDCT decode ran (see generate_media_jpeg)."""
+    from riot_spark.multimodal import generate_media_jpeg
+
+    return generate_media_jpeg(load_documents(spark, sf).select("doc_id"))
+
+
+def _mm_jpeg_features(spark, sf) -> DataFrame:
+    from riot_spark.multimodal import image_features
+
+    return image_features(_mm_jpeg_media(spark, sf), fake=False)
+
+
+def _mm_jpeg_resize(spark, sf) -> DataFrame:
+    """4x4 nearest resize of the REAL-decoded 16x16 JPEG: sampled
+    rows/cols (0,4,8,12) -> sampled pixel (yi, xi) lives in block
+    j = (yi//2)*2 + xi//2, value (m*7 + j*13) % 256 replicated RGB."""
+    from riot_spark.multimodal import resize_images
+
+    out = resize_images(_mm_jpeg_media(spark, sf), w=4, h=4, fake=False)
+    return out.select(
+        "media_id", F.upper(F.hex("payload")).alias("payload_hex")
+    )
+
+
 def _sim_cosine_topk(spark, sf) -> DataFrame:
     emb = load_embeddings(spark, sf)
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
@@ -1750,6 +1784,32 @@ SELECT doc_id AS media_id,
        upper(string_agg(
          lpad(to_hex(((doc_id*7 % 256) + (s*13 % 256)) % 256), 2, '0'),
          '' ORDER BY j)) AS payload_hex
+FROM documents, src GROUP BY doc_id
+"""
+    # REAL-JPEG twin rows: 16x16 grayscale, four constant 8x8 blocks,
+    # block j of media m = (m*7 + j*13) % 256 (exact-roundtrip
+    # subspace — see riot_spark.jpeg); all channels equal the gray
+    o["mm_jpeg_features"] = """
+WITH px AS (
+  SELECT doc_id, j, ((doc_id*7 % 256) + j*13) % 256 AS v
+  FROM documents, (SELECT unnest(range(0, 4)) AS j)
+)
+SELECT doc_id AS media_id,
+       avg(v) AS mean_r, avg(v) AS mean_g, avg(v) AS mean_b,
+       avg(v) AS brightness
+FROM px GROUP BY doc_id
+"""
+    # nearest 4x4 over the decoded 16x16: sampled rows/cols (0,4,8,12)
+    # => output pixel (yi, xi) falls in block (yi//2)*2 + xi//2
+    o["mm_jpeg_resize"] = """
+WITH src AS (
+  SELECT t, ((t // 3) // 4 // 2) * 2 + ((t // 3) % 4) // 2 AS j
+  FROM (SELECT unnest(range(0, 48)) AS t)
+)
+SELECT doc_id AS media_id,
+       upper(string_agg(
+         lpad(to_hex(((doc_id*7 % 256) + j*13) % 256), 2, '0'),
+         '' ORDER BY t)) AS payload_hex
 FROM documents, src GROUP BY doc_id
 """
     o["mm_frame_plan"] = """

@@ -4,11 +4,13 @@ Images/audio/video ride through the engine as opaque BINARY columns
 plus a typed metadata struct.  The Spark-side plumbing — schemas,
 Arrow batch shape, partition sizing, UDF signatures — is real and
 tested.  Image decode is REAL for PNG (stdlib zlib inflate + full
-filter reconstruction), PPM (P6) and BMP (24-bit BI_RGB) — no
-external libraries; JPEG/audio/video decode stays stubbed behind
-NotImplementedError (the container ships no codecs), with a
-deterministic fake decoder (`fake=True`) that synthesizes pixel
-arrays from the md5 of the payload for end-to-end plumbing tests.
+filter reconstruction), baseline sequential JPEG (riot_spark.jpeg:
+Huffman + dequant + IDCT + chroma upsample, pure numpy/stdlib),
+PPM (P6) and BMP (24-bit BI_RGB) — no external libraries; audio and
+video decode stay stubbed behind NotImplementedError (the container
+ships no codecs), with a deterministic fake decoder (`fake=True`)
+that synthesizes pixel arrays from the md5 of the payload for
+end-to-end plumbing tests.
 
 Scale notes: media rows are fat — `media_repartition` targets a bytes
 budget per partition (not a row count) so executor memory survives
@@ -239,22 +241,26 @@ def bmp_decode(data: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes, meta: dict, fake: bool = False) -> np.ndarray:
     """Decode an image payload to (h, w, 3) uint8 RGB.  Real decoders
-    (magic-byte sniffed, no external deps): PNG, PPM/P6, 24-bit BMP.
-    JPEG & friends need codecs the container doesn't ship —
-    NotImplementedError, with `fake=True` as the deterministic
-    md5-tiled stand-in for plumbing tests."""
+    (magic-byte sniffed, no external deps): PNG, baseline JPEG,
+    PPM/P6, 24-bit BMP.  Other formats need codecs the container
+    doesn't ship — NotImplementedError, with `fake=True` as the
+    deterministic md5-tiled stand-in for plumbing tests."""
     if fake:
         return _fake_pixels(payload, meta.get("width") or 8, meta.get("height") or 8)
     if payload[:8] == _PNG_SIG:
         return png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from riot_spark.jpeg import jpeg_decode
+
+        return jpeg_decode(payload)
     if payload[:2] == b"P6":
         return ppm_decode(payload)
     if payload[:2] == b"BM":
         return bmp_decode(payload)
     raise NotImplementedError(
-        "real decode covers PNG/PPM/BMP (stdlib-only); this payload "
-        "needs a codec the container does not ship — use fake=True "
-        "for the deterministic stub"
+        "real decode covers PNG/JPEG/PPM/BMP (stdlib-only); this "
+        "payload needs a codec the container does not ship — use "
+        "fake=True for the deterministic stub"
     )
 
 
@@ -284,6 +290,67 @@ def generate_media(ids: DataFrame, w: int = 8, h: int = 8) -> DataFrame:
                     "kind": "image",
                     "payload": payloads,
                     "mime": "image/png",
+                    "width": np.int32(w),
+                    "height": np.int32(h),
+                }
+            )
+
+    flat = ids.select(col).mapInPandas(
+        emit,
+        schema=(
+            "media_id LONG, kind STRING, payload BINARY, mime STRING, "
+            "width INT, height INT"
+        ),
+    )
+    return flat.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            "mime", "width", "height",
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def generate_media_jpeg(ids: DataFrame, w: int = 16, h: int = 16) -> DataFrame:
+    """Deterministic REAL-JPEG media fixture: grayscale baseline JPEG
+    whose 8x8 blocks are each CONSTANT — block j (raster order) of
+    media_id m has gray value ``(m*7 + j*13) % 256``.  Flat blocks +
+    quality-100 (all-ones) quantization sit in the codec's
+    exact-roundtrip subspace (DC-only coefficients quantize without
+    loss and IDCT back bit-exactly), so even though JPEG is lossy, an
+    independent SQL oracle can recompute downstream features from the
+    closed form — matching values prove the engine genuinely
+    Huffman-decoded and IDCT'd the payload.  w and h must be
+    multiples of 8."""
+    from riot_spark.jpeg import jpeg_encode
+
+    if w % 8 or h % 8:
+        raise ValueError("JPEG fixture needs w, h multiples of 8")
+    col = "media_id" if "media_id" in ids.columns else "doc_id"
+    nbx = w // 8
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids = pdf[col].to_numpy(np.int64)
+            payloads = []
+            for m in mids:
+                g = np.zeros((h, w), np.uint8)
+                for by in range(h // 8):
+                    for bx in range(nbx):
+                        j = by * nbx + bx
+                        g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            int(m) * 7 + j * 13
+                        ) % 256
+                payloads.append(jpeg_encode(g, quality=100))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
                     "width": np.int32(w),
                     "height": np.int32(h),
                 }

@@ -124,8 +124,12 @@ def test_bmp_decode_bottom_up_with_padding():
 def test_decode_image_dispatch_and_stub():
     px = _rng_px(4, 4)
     assert np.array_equal(decode_image(png_encode(px), {}), px)
+    # JPEG is REAL since round 5 (riot_spark.jpeg); a truncated JPEG
+    # payload fails loudly inside the decoder, not as "no codec"
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 truncated jpeg", {})
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 fake jpeg", {})  # no JPEG codec
+        decode_image(b"GIF89a not supported", {})  # no GIF codec
     # fake path unchanged
     fake = decode_image(b"abc", {"width": 8, "height": 8}, fake=True)
     assert fake.shape == (8, 8, 3)
