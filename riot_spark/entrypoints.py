@@ -171,8 +171,8 @@ def _search(spark, sf, req: SearchRequest, with_labels=False) -> DataFrame:
 # COVERAGE.md keeps at least one gated row; near-duplicate shape
 # variants (e.g. the block twin of a flat request shape already
 # in-window) overflow past the cap and stay covered by
-# tools/check_correctness.py. Invariant: 69 registered / 50
-# driver-gated / 19 locally gated.
+# tools/check_correctness.py. Invariant: 74 registered / 50
+# driver-gated / 24 locally gated.
 GATE_WINDOW: list[str] = [
     # flat fulltext core — one row per request/semantic family
     "ft_and2_bm25", "ft_missing_term", "ft_count_only", "ft_orderless",
@@ -188,9 +188,11 @@ GATE_WINDOW: list[str] = [
     # dd_simhash — to keep the new PQ route driver-gated)
     "dd_exact_prefix", "dd_jaccard_1gram", "dd_minhash_lsh",
     "dd_simhash",
-    # packed-block layout (distinct semantics only; shape twins overflow)
+    # packed-block layout (distinct semantics only; shape twins
+    # overflow — ft_block_labels overflowed in r5 as the block twin of
+    # gated ft_labels, to keep the new audio decode route driver-gated)
     "ft_block_and2", "ft_block_proximity2", "ft_block_logic",
-    "ft_block_labels", "ft_block_merged", "ft_block_store_appended",
+    "ft_block_merged", "ft_block_store_appended",
     "ft_block_delete_requery",
     # batch executors + the r4 metadata-only count route (gated per
     # r4 advice: new-route queries stay inside the driver window;
@@ -202,11 +204,16 @@ GATE_WINDOW: list[str] = [
     "stream_compact_df", "stream_lsm_bm25", "stream_first_seen",
     # riot-compat tokenizer modes
     "compat_using4_len", "compat_chars_len",
-    # multimodal (incl. the r5 real-JPEG decode route)
+    # multimodal (every modality's REAL decode route gated: PNG
+    # features + resize, JPEG, mu-law WAV audio, y4m video frames)
     "mm_image_features", "mm_resize", "mm_jpeg_features",
-    # embedding similarity (incl. the r5 IVF-PQ compressed tier)
-    "sim_cosine_topk", "sim_lsh_neardup", "sim_ivf_kmeans",
-    "sim_ivf_pq",
+    "mm_audio_features", "mm_frame_sample",
+    # embedding similarity (incl. the r5 IVF-PQ compressed tier;
+    # sim_ivf_kmeans overflowed in r5 — the gated sim_ivf_pq oracle
+    # re-trains the SAME coarse k-means plus all 16 sub-codebooks, so
+    # its green row subsumes the kmeans check — to keep the new video
+    # decode route driver-gated)
+    "sim_cosine_topk", "sim_lsh_neardup", "sim_ivf_pq",
 ]
 
 
@@ -382,6 +389,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact-roundtrip fixture subspace
     q["mm_jpeg_features"] = _mm_jpeg_features
     q["mm_jpeg_resize"] = _mm_jpeg_resize
+    # round-5 audio + video decode: G.711 mu-law WAV (RIFF walk +
+    # nonlinear expansion recomputed by the oracle in SQL bit ops) and
+    # YUV4MPEG2 frame extraction (per-frame features prove the FRAME
+    # offset walk)
+    q["mm_audio_features"] = _mm_audio_features
+    q["mm_frame_sample"] = _mm_frame_sample
 
     # --- embedding similarity ---
     q["sim_cosine_topk"] = _sim_cosine_topk
@@ -1141,6 +1154,31 @@ def _mm_jpeg_features(spark, sf) -> DataFrame:
     return image_features(_mm_jpeg_media(spark, sf), fake=False)
 
 
+def _mm_audio_features(spark, sf) -> DataFrame:
+    """REAL audio decode: mono G.711 mu-law WAV fixture (code i of
+    media m = (m*7+i*13)%256), features from the RIFF-parsed +
+    mu-law-expanded int16 samples.  The oracle recomputes the G.711
+    expansion from the closed form in SQL bit ops — the linear
+    samples exist nowhere outside the nonlinear decode, so agreement
+    proves it ran.  n=256 keeps every mean/rms division exact."""
+    from riot_spark.multimodal import audio_features, generate_media_wav
+
+    media = generate_media_wav(load_documents(spark, sf).select("doc_id"))
+    return audio_features(media)
+
+
+def _mm_frame_sample(spark, sf) -> DataFrame:
+    """REAL video decode: YUV4MPEG2 fixture (media m carries m%10+1
+    mono 16x16 frames at 1 fps; pixel i of frame f =
+    (m*7+f*31+i*13)%256), sampled every 1000 ms with per-frame
+    mean/peak computed from the genuinely extracted plane — wrong
+    FRAME offsets or plane strides scramble every value."""
+    from riot_spark.multimodal import generate_media_y4m, sample_frames
+
+    media = generate_media_y4m(load_documents(spark, sf).select("doc_id"))
+    return sample_frames(media, every_ms=1000, fake=False)
+
+
 def _mm_jpeg_resize(spark, sf) -> DataFrame:
     """4x4 nearest resize of the REAL-decoded 16x16 JPEG: sampled
     rows/cols (0,4,8,12) -> sampled pixel (yi, xi) lives in block
@@ -1815,6 +1853,52 @@ FROM documents, src GROUP BY doc_id
     o["mm_frame_plan"] = """
 SELECT doc_id AS media_id, f::INT AS frame_idx, (f * 1000)::INT AS ts_ms
 FROM (SELECT doc_id, unnest(range(0, doc_id % 10 + 1)) AS f FROM documents)
+"""
+    # REAL mu-law WAV rows: the oracle re-derives the linear samples
+    # by applying the public G.711 expansion (CCITT reference form) to
+    # the closed-form codewords with SQL bit ops, then aggregates the
+    # same features.  sum(v)<2^53 and n=256 a power of two keep every
+    # double exact; sqrt is IEEE-correctly-rounded on both sides.
+    o["mm_audio_features"] = """
+WITH c AS (
+  SELECT doc_id, i, ((doc_id*7 % 256) + (i*13 % 256)) % 256 AS code
+  FROM documents, (SELECT unnest(range(0, 256)) AS i)
+),
+s AS (
+  SELECT doc_id, i,
+    CASE WHEN (255 - code) >= 128
+      THEN 132 - ((((255 - code) & 15) * 8 + 132)
+                  * (1 << (((255 - code) >> 4) & 7)))
+      ELSE ((((255 - code) & 15) * 8 + 132)
+            * (1 << (((255 - code) >> 4) & 7))) - 132
+    END AS v
+  FROM c
+),
+l AS (SELECT doc_id, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+SELECT doc_id AS media_id, 256::INT AS n_samples, 8000::INT AS sample_rate,
+       (sum(v) / 256.0) AS mean_amp,
+       sqrt(sum(v*v) / 256.0) AS rms,
+       max(abs(v))::INT AS peak,
+       sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) != (v < 0))
+                THEN 1 ELSE 0 END)::INT AS zero_crossings
+FROM l GROUP BY doc_id
+"""
+    # REAL y4m rows: per-sampled-frame mean/peak from the pixel closed
+    # form (m*7 + f*31 + i*13) % 256 — independent of the stream bytes,
+    # so agreement proves the FRAME walk extracted the right planes
+    o["mm_frame_sample"] = """
+WITH fr AS (
+  SELECT doc_id, unnest(range(0, doc_id % 10 + 1)) AS f FROM documents
+),
+px AS (
+  SELECT doc_id, f,
+         ((doc_id*7 % 256) + (f*31 % 256) + (i*13 % 256)) % 256 AS v
+  FROM fr, (SELECT unnest(range(0, 256)) AS i)
+)
+SELECT doc_id AS media_id, f::INT AS frame_idx, (f*1000)::INT AS ts_ms,
+       (sum(v) / 256.0) AS frame_mean, max(v)::INT AS frame_peak
+FROM px GROUP BY doc_id, f
 """
     o["dd_simhash_neardup"] = f"""
 WITH w AS (SELECT DISTINCT doc_id, unnest(list_distinct({_WORDS_SQL})) AS word
