@@ -540,14 +540,24 @@ def _pq_adc_tables(
     return out
 
 
-def _pq_adc_col(tables: dict[int, list[float]]):
+def _pq_adc_col(tables: dict[int, list[float]], bits: int | None = None):
     """round(sum_s tables[s][codes[s]], 4) over a `codes` column —
     summed in subspace order (the 4-decimal round absorbs engine
-    summation-order ulps, same as the kmeans oracle)."""
+    summation-order ulps, same as the kmeans oracle).  With `bits`
+    set, `codes` is the bit-packed BIGINT layout and each sub-code is
+    extracted with shift+mask instead of an array index — the ADC
+    never materializes the unpacked array."""
     adc = F.lit(0.0)
+    mask = (1 << bits) - 1 if bits else 0
     for s in sorted(tables):
         tbl = F.array(*[F.lit(float(d)) for d in tables[s]])
-        adc = adc + F.element_at(tbl, F.col("codes")[s].cast("int") + 1)
+        if bits:
+            code = F.shiftright(F.col("codes"), s * bits).bitwiseAND(
+                F.lit(mask)
+            )
+        else:
+            code = F.col("codes")[s]
+        adc = adc + F.element_at(tbl, code.cast("int") + 1)
     return F.round(adc, 4)
 
 
@@ -577,6 +587,20 @@ def pq_adc_topk(
     return cosine_topk(pool, query_vec, k, id_col, vec_col)
 
 
+def _pq_bits(ksub: int) -> int:
+    """bits per sub-code (2 for ksub=4)."""
+    return max(1, (ksub - 1).bit_length())
+
+
+def _pq_pack_meta(books: dict[int, dict[int, list[float]]]) -> tuple[int, int, bool]:
+    """(m, bits, packable): the store bit-packs the m sub-codes into
+    ONE BIGINT when they fit in 63 bits (m=16 x ksub=4 -> 32 bits);
+    wider configs fall back to the array layout honestly."""
+    m = len(books)
+    bits = _pq_bits(len(books[0]))
+    return m, bits, m * bits <= 63
+
+
 def ivfpq_write(
     embeddings: DataFrame,
     cents: dict[int, list[float]],
@@ -586,10 +610,21 @@ def ivfpq_write(
     vec_col: str = "embedding",
 ) -> None:
     """Persist the COMPRESSED store: (vec_id, codes) partitioned by
-    trained coarse cluster.  No raw vectors — the store is m bytes +
-    id per vector; rerank hydrates from the source embeddings table."""
+    trained coarse cluster.  No raw vectors; when the m sub-codes fit
+    in 63 bits they are bit-packed into a single BIGINT column (m=16 x
+    ksub=4 -> one 32-bit value vs an array<long> of 16), so the ADC
+    scan reads one fixed-width column per vector.  Rerank hydrates
+    from the source embeddings table."""
     assigned = kmeans_assign(embeddings, cents, id_col, vec_col)
     codes = pq_encode(embeddings, books, id_col, vec_col)
+    m, bits, packable = _pq_pack_meta(books)
+    if packable:
+        packed = F.lit(0).cast("long")
+        for s in range(m):
+            packed = packed + F.col("codes")[s].cast("long") * F.lit(
+                1 << (s * bits)
+            )
+        codes = codes.select("id", packed.alias("codes"))
     (
         codes.join(assigned, "id")
         .select(F.col("id").alias(id_col), "codes", "cid")
@@ -625,8 +660,12 @@ def ivfpq_read_topk(
     probe = sorted(cents, key=lambda cid: (dist(cents[cid]), cid))[:nprobe]
     codes = spark.read.parquet(path).where(F.col("cid").isin(probe))
     tables = _pq_adc_tables(query_vec, books)
+    _m, bits, packable = _pq_pack_meta(books)
     cand = (
-        codes.select(F.col(id_col), _pq_adc_col(tables).alias("adc"))
+        codes.select(
+            F.col(id_col),
+            _pq_adc_col(tables, bits=bits if packable else None).alias("adc"),
+        )
         .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(rerank * k)
         .collect()

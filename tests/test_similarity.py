@@ -109,11 +109,18 @@ def test_ivfpq_compressed_store(spark, tmp_path):
     stored = spark.read.parquet(path)
     assert set(stored.columns) == {"vec_id", "codes", "cid"}  # compressed
     assert stored.count() == emb.count()
-    # every code is a valid sub-codebook index
-    mx = stored.select(
-        F.array_max("codes").alias("mx"), F.array_min("codes").alias("mn")
-    ).agg(F.max("mx"), F.min("mn")).first()
-    assert 0 <= mx[1] and mx[0] <= 3
+    # m=16 x ksub=4 bit-packs into ONE BIGINT (32 bits used): fixed
+    # width, and every unpacked sub-code must round-trip the array
+    # encoding exactly
+    assert dict(stored.dtypes)["codes"] == "bigint"
+    from riot_spark.operators.similarity import pq_encode
+
+    arr = {r["id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    for row in stored.collect():
+        packed = row["codes"]
+        assert 0 <= packed < (1 << 32)
+        got = [(packed >> (2 * s)) & 3 for s in range(16)]
+        assert got == list(arr[row["vec_id"]])
 
     got = ivfpq_read_topk(
         spark, path, emb, qvec, cents, books, k=10, nprobe=4, rerank=16
