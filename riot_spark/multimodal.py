@@ -531,8 +531,9 @@ def audio_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                             int(mid),
                             n,
                             rate,
-                            float(v64.sum()) / n,
-                            float(np.sqrt(float((v64 * v64).sum()) / n)),
+                            float(v64.sum()) / n if n else 0.0,
+                            float(np.sqrt(float((v64 * v64).sum()) / n))
+                            if n else 0.0,
                             int(np.abs(v64).max()) if n else 0,
                             int(np.count_nonzero(neg[:-1] != neg[1:])),
                         )

@@ -137,6 +137,17 @@ def test_audio_features_match_closed_form(spark):
         assert r["zero_crossings"] == int(np.count_nonzero(neg[:-1] != neg[1:]))
 
 
+def test_audio_features_empty_wav_yields_zero_row(spark):
+    empty = wav_encode_ulaw(np.zeros(0, np.uint8), 8000)
+    df = spark.createDataFrame(
+        [(7, "audio", bytearray(empty), ("audio/wav", None, None, 0, 8000))],
+        MEDIA_SCHEMA,
+    )
+    r = audio_features(df).collect()[0]
+    assert (r["n_samples"], r["mean_amp"], r["rms"], r["peak"],
+            r["zero_crossings"]) == (0, 0.0, 0.0, 0, 0)
+
+
 def test_frame_sample_real_decode_matches_closed_form(spark):
     ids = spark.range(4).withColumnRenamed("id", "media_id")
     media = generate_media_y4m(ids)
