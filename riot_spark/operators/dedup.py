@@ -22,16 +22,22 @@ from pyspark.sql import functions as F
 
 
 def _shingles(text_col: str, n: int):
-    """Word n-gram shingle array from lower/space-split text."""
+    """Word n-gram shingle array from lower/space-split text.  Docs
+    with fewer than n words yield an empty array (Spark's sequence(1,
+    0) is the DESCENDING [1, 0], whose 0 then crashes slice — a doc
+    of one or two words must not kill a 100-TB dedup pass)."""
     w = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     if n == 1:
         return F.array_distinct(w)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        )
-    )
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
