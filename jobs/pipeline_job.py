@@ -53,9 +53,23 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--salts", type=int, default=8)
     ap.add_argument("--block-bits", type=int, default=13)
     ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument(
+        "--no-cache", dest="cache", action="store_false",
+        help="disable the MEMORY_AND_DISK stage persists (each stage "
+        "then recomputes its full lineage — at cluster scale prefer "
+        "checkpointing stages to parquet over either mode)",
+    )
     args = ap.parse_args(argv)
 
-    spark = SparkSession.builder.appName("riot_spark_pipeline").getOrCreate()
+    # Bare `python jobs/pipeline_job.py` launches the JVM itself, and
+    # the 1 GB default heap OOMs on real inputs; under spark-submit the
+    # JVM is already up, so this config is ignored and the submit-time
+    # --driver-memory governs.
+    spark = (
+        SparkSession.builder.appName("riot_spark_pipeline")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
     from riot_spark.blocks import blocked_from_index, write_blocked_index
     from riot_spark.build import build_index
     from riot_spark.config import EngineConfig, FREQUENCIES_INDEX, LOCS_INDEX
@@ -74,8 +88,25 @@ def main(argv: list[str]) -> int:
         pages = spark.read.parquet(args.input)
         input_paths = [args.input]
 
-    docs = pages_to_documents(pages).select("doc_id", "text").cache()
-    metrics["n_input"] = docs.count()
+    # No MEMORY_ONLY corpus caches in this job: at 100 TB the corpus
+    # cannot live in executor memory, and in a bare-local smoke run
+    # three memory-cached copies OOM the heap long before the
+    # operators break a sweat.  The default persists each counted
+    # stage at MEMORY_AND_DISK (spills, never OOMs) so the final
+    # build doesn't recompute the whole dedup lineage; at cluster
+    # scale the equivalent is checkpointing each stage to parquet
+    # (--no-cache shows the fully-lazy plan).
+    from pyspark import StorageLevel
+
+    def stage(name, df):
+        t = time.time()
+        if args.cache:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        metrics[name] = df.count()
+        metrics[f"{name}_s"] = round(time.time() - t, 2)
+        return df
+
+    docs = stage("n_input", pages_to_documents(pages).select("doc_id", "text"))
 
     # ---- text analysis gate: predicted language + composite quality.
     # Both are codegen'd explode+agg plans; the join keys are doc_id,
@@ -89,14 +120,14 @@ def main(argv: list[str]) -> int:
         )
         .select("doc_id")
     )
-    filtered = docs.join(keep, "doc_id").cache()
-    metrics["n_after_filter"] = filtered.count()
+    filtered = stage("n_after_filter", docs.join(keep, "doc_id"))
 
     # ---- exact dedup: normalized-text fingerprint collision, keep
     # the canonical (min doc_id) member.  One shuffle.
     exact_drop = exact_duplicates(filtered).select("doc_id")
-    deduped = filtered.join(exact_drop, "doc_id", "left_anti").cache()
-    metrics["n_after_exact_dedup"] = deduped.count()
+    deduped = stage(
+        "n_after_exact_dedup", filtered.join(exact_drop, "doc_id", "left_anti")
+    )
 
     # ---- near dedup: MinHash-LSH candidate pairs (bucketed — Sum of
     # bucket sizes squared, never N^2), drop the larger id of each
@@ -106,8 +137,9 @@ def main(argv: list[str]) -> int:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    survivors = deduped.join(near_drop, "doc_id", "left_anti")
-    metrics["n_after_near_dedup"] = survivors.count()
+    survivors = stage(
+        "n_after_near_dedup", deduped.join(near_drop, "doc_id", "left_anti")
+    )
 
     # ---- index build + persisted block store over the survivors.
     cfg = EngineConfig(
