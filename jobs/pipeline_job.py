@@ -132,8 +132,10 @@ def main(argv: list[str]) -> int:
     # ---- near dedup: MinHash-LSH candidate pairs (bucketed — Sum of
     # bucket sizes squared, never N^2), drop the larger id of each
     # pair so each near-cluster keeps its minimum doc_id.
+    # xxhash64 MinHash: ~10x cheaper per shingle than the md5 variant
+    # the DuckDB oracle mirrors; same collision statistics
     near_drop = (
-        minhash_lsh_pairs(deduped)
+        minhash_lsh_pairs(deduped, hash_fn="xxhash64")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -123,18 +123,28 @@ def minhash_signature(
     n: int = 3,
     num_hashes: int = 8,
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """(doc_id, sig ARRAY<STRING>) — MinHash where hash_i(s) =
-    md5(s || '#' || i), minimum taken in hex-string order. String
-    comparison of fixed-width lowercase hex == unsigned numeric order,
-    and it is reproducible verbatim in ANSI SQL (oracle parity).
-    """
+    """(doc_id, sig ARRAY<...>) — MinHash over the shingle set.
+
+    hash_fn="md5" (default): hash_i(s) = md5(s || '#' || i), minimum
+    taken in hex-string order.  String comparison of fixed-width
+    lowercase hex == unsigned numeric order, and it is reproducible
+    verbatim in ANSI SQL (oracle parity).
+
+    hash_fn="xxhash64": hash_i(s) = xxhash64(s, seed=i), minimum in
+    LONG order — the JVM-native hash is ~an order of magnitude cheaper
+    than md5 per shingle, the production choice for 100-TB dedup
+    passes (not SQL-oracle-reproducible; both are equally valid
+    MinHash instantiations with the same collision statistics)."""
     sh = shingle_docs(documents, n, text_col)
 
     def hasher(i: int):
+        if hash_fn == "xxhash64":
+            # single-arg lambda: a two-arg lambda would make Spark pass
+            # the array index as the second argument
+            return lambda s: F.xxhash64(s, F.lit(i))
         salt = f"#{i}"
-        # single-arg lambda: a two-arg lambda would make Spark pass the
-        # array index as the second argument
         return lambda s: F.md5(F.concat(s, F.lit(salt)))
 
     sig = F.array(
@@ -152,15 +162,17 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     num_hashes/bands rows per band; band key = concat of the band's
     signature slice. Returns (doc_a, doc_b, n_bands_shared).
-    """
+    hash_fn="xxhash64" is the cheap production hash (see
+    minhash_signature)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signature(documents, n, num_hashes, text_col)
+    sig = minhash_signature(documents, n, num_hashes, text_col, hash_fn)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),

@@ -42,3 +42,9 @@ def test_minhash_and_jaccard_survive_short_docs(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in mh} == {(3, 4)}
     jc = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in jc} == {(3, 4)}
+
+
+def test_minhash_xxhash64_fast_path_finds_the_dup(spark):
+    mh = minhash_lsh_pairs(_docs(spark), hash_fn="xxhash64").collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in mh} == {(3, 4)}
+    assert all(r["n_bands_shared"] == 4 for r in mh)  # identical docs
