@@ -73,7 +73,7 @@ def main(argv: list[str]) -> int:
     from riot_spark.blocks import blocked_from_index, write_blocked_index
     from riot_spark.build import build_index
     from riot_spark.config import EngineConfig, FREQUENCIES_INDEX, LOCS_INDEX
-    from riot_spark.functions.text import language_id, quality_score
+    from riot_spark.functions.text import text_profile
     from riot_spark.operators.dedup import exact_duplicates, minhash_lsh_pairs
     from riot_spark.sources.corpus import generate_pages, pages_to_documents
 
@@ -108,12 +108,11 @@ def main(argv: list[str]) -> int:
 
     docs = stage("n_input", pages_to_documents(pages).select("doc_id", "text"))
 
-    # ---- text analysis gate: predicted language + composite quality.
-    # Both are codegen'd explode+agg plans; the join keys are doc_id,
-    # the same key every later stage shuffles on.
+    # ---- text analysis gate: predicted language + composite quality,
+    # fused into ONE explode+agg token pass (text_profile) — half the
+    # scan cost of running quality_score and language_id separately.
     keep = (
-        quality_score(docs)
-        .join(language_id(docs), "doc_id")
+        text_profile(docs)
         .where(
             (F.col("pred_lang") == args.lang)
             & (F.col("quality") >= args.min_quality)

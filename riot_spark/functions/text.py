@@ -124,6 +124,61 @@ def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.select("doc_id", pred.alias("pred_lang"))
 
 
+def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, stopword_ratio, distinct_ratio, mean_word_len,
+    quality, pred_lang) — quality_score and language_id fused into ONE
+    explode + hash-aggregate pass.  Run separately they each scan and
+    explode the full text column; on a 100-TB filter pass that is the
+    difference between one token pass and two.  Values are identical
+    to the standalone operators (pytest-pinned)."""
+    base = documents.select(
+        "doc_id", F.explode_outer(_words(text_col)).alias("word")
+    )
+    hit_aggs = [
+        F.sum(F.when(F.col("word").isin(ms), 1).otherwise(0)).alias(
+            f"hits_{lang}"
+        )
+        for lang, ms in sorted(LANG_MARKERS.items())
+    ]
+    feat = base.groupBy("doc_id").agg(
+        F.count("word").cast("double").alias("n"),
+        F.sum(
+            F.when(F.col("word").isin(STOPWORDS), 1).otherwise(0)
+        ).cast("double").alias("stop_hits"),
+        F.countDistinct("word").cast("double").alias("n_distinct"),
+        F.coalesce(F.sum(F.length("word")), F.lit(0)).cast("double").alias(
+            "sum_len"
+        ),
+        *hit_aggs,
+    )
+    n = F.col("n")
+    stop_ratio = F.col("stop_hits") / F.greatest(n, F.lit(1.0))
+    distinct_ratio = F.col("n_distinct") / F.greatest(n, F.lit(1.0))
+    mean_wlen = F.col("sum_len") / F.greatest(n, F.lit(1.0))
+    length_ok = F.when((n >= 20) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    stop_ok = F.when(stop_ratio >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    composite = (length_ok + wlen_ok + stop_ok + distinct_ratio) / F.lit(4.0)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("en")
+    for lg in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lg}") == best) & (best > 0), F.lit(lg)
+        ).otherwise(pred)
+    return feat.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(composite, 4).alias("quality"),
+        pred.alias("pred_lang"),
+    )
+
+
 def doc_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint) — md5 over whitespace-normalized lowercase
     text: the exact-dedup key (cheap, collision-safe at corpus scale)."""

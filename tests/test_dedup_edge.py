@@ -44,6 +44,24 @@ def test_minhash_and_jaccard_survive_short_docs(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in jc} == {(3, 4)}
 
 
+def test_text_profile_matches_standalone_operators(spark):
+    """text_profile fuses quality_score + language_id into one token
+    pass; every value must equal the standalone operators'."""
+    from riot_spark.functions.text import language_id, quality_score, text_profile
+    from riot_spark.sources.corpus import generate_pages, pages_to_documents
+
+    docs = pages_to_documents(generate_pages(spark, 300)).select(
+        "doc_id", "text"
+    )
+    fused = {r["doc_id"]: r.asDict() for r in text_profile(docs).collect()}
+    q = {r["doc_id"]: r.asDict() for r in quality_score(docs).collect()}
+    lg = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert set(fused) == set(q) == set(lg)
+    for d, row in fused.items():
+        want = dict(q[d], pred_lang=lg[d])
+        assert row == want, (d, row, want)
+
+
 def test_minhash_xxhash64_fast_path_finds_the_dup(spark):
     mh = minhash_lsh_pairs(_docs(spark), hash_fn="xxhash64").collect()
     assert {(r["doc_a"], r["doc_b"]) for r in mh} == {(3, 4)}
