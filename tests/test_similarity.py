@@ -142,3 +142,10 @@ def test_ivfpq_compressed_store(spark, tmp_path):
         spark, path, emb, qvec, cents, books, k=10, nprobe=2, rerank=16
     )
     probed.collect()
+    # ...and the ADC-phase scan plan (the shape ivfpq_read_topk builds
+    # internally) must carry the probe as a PartitionFilter on cid —
+    # only the probed cells' files are listed/read
+    adc_scan = spark.read.parquet(path).where(F.col("cid").isin([0, 1]))
+    plan = adc_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters")[1][:120]
